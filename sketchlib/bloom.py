@@ -1,0 +1,191 @@
+"""Blocked / sectorized / zoned Bloom filter — NumPy kernels.
+
+Re-implements, Spark-first, the filter design of ``peterboncz/bloomfilter-bsd``
+(Lang, Neumann, Kemper, Boncz, SIGMOD 2019 §3; Putze, Sanders, Singler, WEA
+2007 §4). Reference locations (src/dtl/filter/blocked_bloomfilter/*.hpp) are
+[path-level, unverified] — the checkout was empty, see SURVEY.md §0; parity is
+against the published bit-layout and FPR formulas (sketchlib.fpr).
+
+Layout (per key, all arithmetic vectorized over whole key arrays):
+
+1. ``h0 = mulhash(key, C0)``; block index = top ``log2(n_blocks)`` bits
+   (power-of-two addressing, reference ``block_addressing::POWER_OF_TWO``).
+2. Within the block of ``B`` bits split into ``s`` sectors: hash function
+   ``i`` (``i in [0, k)``) sets one bit in sector ``i % s`` at offset
+   ``top log2(B/s) bits of mulhash(key, C[1+i])`` — sectorization.
+3. With ``z`` zones: the block is split into ``z`` zone regions; the k hashes
+   are divided into z groups of k/z; group ``g`` lands in a *hash-chosen* zone
+   (``mulhash(key, C[1+k+g])``), sector-constrained within that zone —
+   cache-sectorization ([SIGMOD19] §3.3).
+
+Properties the tests pin: zero false negatives (hard), empirical FPR within
+binomial CI of the analytic Poisson-mixture value (fpr.py), OR-merge
+commutativity/associativity to the byte.
+
+The insert scatter uses a boolean scratch array + ``np.packbits`` (idempotent
+fancy assignment — no slow ``np.bitwise_or.at``); probes are pure gathers.
+Both paths chunk internally so per-call temporaries stay cache/memory friendly
+regardless of Arrow batch size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sketchlib import blob as blobmod
+from sketchlib.config import BloomConfig, SketchConfigError
+from sketchlib.hashing import mul_hash32
+
+_CHUNK = 1 << 21  # keys per internal chunk
+
+
+def _log2(x: int) -> int:
+    return int(x).bit_length() - 1
+
+
+def _bit_indices(keys: np.ndarray, cfg: BloomConfig) -> np.ndarray:
+    """Global bit positions, shape (k, n) uint64, for a chunk of keys."""
+    n = keys.shape[0]
+    B = cfg.block_bits
+    lb_blocks = _log2(cfg.n_blocks)
+    seed = cfg.hash_seed
+
+    h0 = mul_hash32(keys, 0, seed)
+    if lb_blocks:
+        block = (h0 >> np.uint32(32 - lb_blocks)).astype(np.uint64)
+    else:
+        block = np.zeros(n, dtype=np.uint64)
+    block_base = block * np.uint64(B)
+
+    z = cfg.zones
+    k = cfg.k
+    s = cfg.sectors
+    sector_bits = cfg.sector_bits  # == B // s
+    lb_sector = _log2(sector_bits)
+
+    out = np.empty((k, n), dtype=np.uint64)
+
+    if z == 1:
+        for i in range(k):
+            hi = mul_hash32(keys, 1 + i, seed)
+            off = (hi >> np.uint32(32 - lb_sector)).astype(np.uint64)
+            sec = i % s
+            out[i] = block_base + np.uint64(sec * sector_bits) + off
+        return out
+
+    # zoned: z zone regions of B/z bits, each with s/z sectors
+    zone_bits = B // z
+    spz = s // z  # sectors per zone
+    kpz = k // z  # hashes per zone group
+    lb_z = _log2(z)
+    for g in range(z):
+        hz = mul_hash32(keys, 1 + k + g, seed)
+        zone = (hz >> np.uint32(32 - lb_z)).astype(np.uint64) if lb_z else 0
+        zone_base = block_base + zone * np.uint64(zone_bits)
+        for j in range(kpz):
+            i = g * kpz + j
+            hi = mul_hash32(keys, 1 + i, seed)
+            off = (hi >> np.uint32(32 - lb_sector)).astype(np.uint64)
+            sec = j % spz
+            out[i] = zone_base + np.uint64(sec * sector_bits) + off
+    return out
+
+
+def _as_keys(tokens: np.ndarray) -> np.ndarray:
+    """Validate and view token ids as uint32 keys (corpus contract: >= 0)."""
+    if tokens.dtype.kind == "i":
+        if tokens.size and int(tokens.min()) < 0:
+            raise SketchConfigError("negative token ids are not allowed")
+    return tokens.astype(np.uint32, copy=False)
+
+
+def empty(cfg: BloomConfig) -> np.ndarray:
+    return np.zeros(cfg.n_bytes, dtype=np.uint8)
+
+
+def insert(bits: np.ndarray, tokens: np.ndarray, cfg: BloomConfig) -> None:
+    """Set bits for ``tokens`` in-place in the uint8 filter array ``bits``.
+
+    Reference parity: ``batch_insert`` (A1/A2 in SURVEY.md §2.A).
+    """
+    keys = _as_keys(tokens)
+    m = cfg.m_bits
+    for lo in range(0, keys.shape[0], _CHUNK):
+        chunk = keys[lo : lo + _CHUNK]
+        idx = _bit_indices(chunk, cfg).ravel()
+        if m <= (1 << 28):
+            scratch = np.zeros(m, dtype=bool)
+            scratch[idx] = True
+            np.bitwise_or(bits, np.packbits(scratch, bitorder="little"), out=bits)
+        else:
+            # huge filters: sort byte indices, OR-reduce per unique byte
+            byte_idx = (idx >> np.uint64(3)).astype(np.int64)
+            mask = (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)).astype(np.uint8)
+            order = np.argsort(byte_idx, kind="stable")
+            bi = byte_idx[order]
+            mk = mask[order]
+            starts = np.flatnonzero(np.r_[True, bi[1:] != bi[:-1]])
+            merged = np.bitwise_or.reduceat(mk, starts)
+            bits[bi[starts]] |= merged
+
+
+def build(tokens: np.ndarray, cfg: BloomConfig) -> bytes:
+    """Build a filter over ``tokens`` and return the blob."""
+    bits = empty(cfg)
+    insert(bits, tokens, cfg)
+    return blobmod.pack("bloom", cfg, bits.tobytes())
+
+
+def contains(tokens: np.ndarray, payload: np.ndarray, cfg: BloomConfig) -> np.ndarray:
+    """Membership test; returns bool array. Reference parity: ``batch_contains``
+    (A3/A4) — the selection vector becomes a boolean column Spark-side.
+    """
+    keys = _as_keys(tokens)
+    n = keys.shape[0]
+    out = np.empty(n, dtype=bool)
+    for lo in range(0, n, _CHUNK):
+        chunk = keys[lo : lo + _CHUNK]
+        idx = _bit_indices(chunk, cfg)  # (k, nc)
+        byte_idx = (idx >> np.uint64(3)).astype(np.int64)
+        shift = (idx & np.uint64(7)).astype(np.uint8)
+        hit = (payload[byte_idx[0]] >> shift[0]) & np.uint8(1)
+        for i in range(1, cfg.k):
+            hit &= (payload[byte_idx[i]] >> shift[i]) & np.uint8(1)
+        out[lo : lo + chunk.shape[0]] = hit.astype(bool)
+    return out
+
+
+def merge_payloads(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """OR-merge (A5): the commutative monoid that makes Spark partial/final
+    aggregation exact."""
+    return np.bitwise_or(a, b)
+
+
+# --- blob-level conveniences -------------------------------------------------
+
+def build_blob(tokens: np.ndarray, cfg: BloomConfig) -> bytes:
+    return build(tokens, cfg)
+
+
+def merge_blobs(a: bytes, b: bytes) -> bytes:
+    na, ca, pa = blobmod.unpack(a)
+    nb, cb, pb = blobmod.unpack(b)
+    if na != "bloom" or nb != "bloom":
+        raise SketchConfigError("merge_blobs: not bloom blobs")
+    ca.require_same(cb)
+    merged = merge_payloads(np.frombuffer(pa, dtype=np.uint8), np.frombuffer(pb, dtype=np.uint8))
+    return blobmod.pack("bloom", ca, merged.tobytes())
+
+
+def contains_blob(tokens: np.ndarray, blob: bytes) -> np.ndarray:
+    name, cfg, payload = blobmod.unpack(blob)
+    if name != "bloom":
+        raise SketchConfigError("contains_blob: not a bloom blob")
+    return contains(tokens, np.frombuffer(payload, dtype=np.uint8), cfg)
+
+
+def fill_ratio(blob: bytes) -> float:
+    """Fraction of set bits — cheap sanity metric recorded in lineage."""
+    _, cfg, payload = blobmod.unpack(blob)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    return float(np.unpackbits(arr).sum()) / cfg.m_bits

@@ -1,0 +1,84 @@
+"""Count-min sketch — NumPy kernels.
+
+Cormode & Muthukrishnan 2005. Not in the reference (filter library); mandated
+by the north rule (BASELINE.json:14). Payload: ``d x w`` int64 counters,
+C-order. Merge = elementwise add (commutative monoid → byte-identical under
+merge permutation). Guarantees (tested in T3): ``est >= true`` always;
+``est <= true + eps * N`` with probability >= 1 - delta per query.
+
+Row updates use ``np.bincount`` (fast histogram) instead of the notoriously
+slow ``np.add.at`` scatter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sketchlib import blob as blobmod
+from sketchlib.config import CMSConfig, SketchConfigError
+from sketchlib.hashing import splitmix64
+
+_CHUNK = 1 << 22
+
+
+def empty(cfg: CMSConfig) -> np.ndarray:
+    return np.zeros((cfg.depth, cfg.width), dtype=np.int64)
+
+
+def _cols(values: np.ndarray, row: int, cfg: CMSConfig) -> np.ndarray:
+    h = splitmix64(values, seed=cfg.hash_seed * 1000 + row)
+    # fastrange (Lemire): multiply-shift maps uniform u64 -> [0, w) without mod
+    return ((h >> np.uint64(32)) * np.uint64(cfg.width) >> np.uint64(32)).astype(np.int64)
+
+
+def insert(counters: np.ndarray, values: np.ndarray, cfg: CMSConfig) -> None:
+    w = cfg.width
+    for lo in range(0, values.shape[0], _CHUNK):
+        chunk = values[lo : lo + _CHUNK]
+        for r in range(cfg.depth):
+            counters[r] += np.bincount(_cols(chunk, r, cfg), minlength=w)
+
+
+def query(counters: np.ndarray, values: np.ndarray, cfg: CMSConfig) -> np.ndarray:
+    """Point-query estimates (int64) for a batch of values: min over d rows."""
+    est = counters[0][_cols(values, 0, cfg)]
+    for r in range(1, cfg.depth):
+        est = np.minimum(est, counters[r][_cols(values, r, cfg)])
+    return est
+
+
+def merge_payloads(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def build_blob(values: np.ndarray, cfg: CMSConfig) -> bytes:
+    c = empty(cfg)
+    insert(c, values, cfg)
+    return blobmod.pack("cms", cfg, c.tobytes())
+
+
+def _payload_to_counters(cfg: CMSConfig, payload: bytes) -> np.ndarray:
+    return np.frombuffer(payload, dtype=np.int64).reshape(cfg.depth, cfg.width)
+
+
+def merge_blobs(a: bytes, b: bytes) -> bytes:
+    na, ca, pa = blobmod.unpack(a)
+    nb, cb, pb = blobmod.unpack(b)
+    if na != "cms" or nb != "cms":
+        raise SketchConfigError("merge_blobs: not cms blobs")
+    ca.require_same(cb)
+    merged = _payload_to_counters(ca, pa) + _payload_to_counters(cb, pb)
+    return blobmod.pack("cms", ca, merged.tobytes())
+
+
+def query_blob(values: np.ndarray, blob: bytes) -> np.ndarray:
+    name, cfg, payload = blobmod.unpack(blob)
+    if name != "cms":
+        raise SketchConfigError("query_blob: not a cms blob")
+    return query(_payload_to_counters(cfg, payload), values, cfg)
+
+
+def total_blob(blob: bytes) -> int:
+    """N — total insertions (row sums are all N; use row 0)."""
+    name, cfg, payload = blobmod.unpack(blob)
+    return int(_payload_to_counters(cfg, payload)[0].sum())

@@ -1,0 +1,127 @@
+"""t-digest — NumPy kernels (vectorized k1 scale-space clustering).
+
+Dunning & Ertl, "Computing Extremely Accurate Quantiles Using t-Digests".
+Not in the reference; mandated by the north rule (BASELINE.json:14) as the
+practical quantile sketch (no worst-case bound — tests use q(1-q)-scaled
+tolerance; KLL is the guaranteed-bound sibling).
+
+Construction is *static k1-space binning*, fully vectorized: sort, compute
+each item's mid-quantile q, assign cluster id = floor(k1(q)) with
+``k1(q) = (compression / (2 pi)) * asin(2q - 1)``, aggregate weighted means
+per cluster with ``np.bincount``. Deterministic given the input multiset
+(sort first), so merge = centroid-list concat is order-insensitive and the
+final estimate-time recompression is permutation-invariant (T4 contract).
+
+Payload: ``<u8 n_total`` + interleaved ``(mean: f8, weight: f8)`` centroids.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from sketchlib import blob as blobmod
+from sketchlib.config import SketchConfigError, TDigestConfig
+
+
+def _k1_bins(q: np.ndarray, compression: float) -> np.ndarray:
+    k = (compression / (2.0 * np.pi)) * np.arcsin(np.clip(2.0 * q - 1.0, -1.0, 1.0))
+    return np.floor(k).astype(np.int64)
+
+
+def compress(means: np.ndarray, weights: np.ndarray, compression: float) -> tuple[np.ndarray, np.ndarray]:
+    """Cluster (means, weights) into <= ~compression centroids. Pure function
+    of the input multiset: sorts by (mean, weight) first."""
+    if means.size == 0:
+        return means, weights
+    order = np.lexsort((weights, means))
+    m, w = means[order], weights[order]
+    total = w.sum()
+    cum = np.cumsum(w)
+    q_mid = (cum - w / 2.0) / total
+    bins = _k1_bins(q_mid, compression)
+    bins -= bins.min()
+    wsum = np.bincount(bins, weights=w)
+    msum = np.bincount(bins, weights=w * m)
+    nz = wsum > 0
+    return (msum[nz] / wsum[nz]).astype(np.float64), wsum[nz].astype(np.float64)
+
+
+class TDigest:
+    __slots__ = ("cfg", "means", "weights", "n")
+
+    def __init__(self, cfg: TDigestConfig):
+        self.cfg = cfg
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self.n = 0
+
+    def update(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return
+        self.n += int(v.size)
+        self.means = np.concatenate([self.means, v])
+        self.weights = np.concatenate([self.weights, np.ones(v.size)])
+        self.means, self.weights = compress(self.means, self.weights, self.cfg.compression)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self.cfg.require_same(other.cfg)
+        out = TDigest(self.cfg)
+        out.n = self.n + other.n
+        out.means = np.concatenate([self.means, other.means])
+        out.weights = np.concatenate([self.weights, other.weights])
+        if out.means.size > self.cfg.max_centroids:  # lazy guard for wide merges
+            out.means, out.weights = compress(out.means, out.weights, self.cfg.compression)
+        return out
+
+    def quantiles(self, qs) -> np.ndarray:
+        qs = np.asarray(qs, dtype=np.float64)
+        if self.means.size == 0:
+            return np.full(qs.shape, np.nan)
+        m, w = compress(self.means, self.weights, self.cfg.compression)
+        total = w.sum()
+        # centroid "center" ranks; linear interpolation between centers
+        centers = np.cumsum(w) - w / 2.0
+        targets = np.clip(qs, 0.0, 1.0) * total
+        return np.interp(targets, centers, m, left=m[0], right=m[-1])
+
+    def to_payload(self) -> bytes:
+        head = struct.pack("<Q", self.n)
+        body = np.column_stack([self.means, self.weights]).astype(np.float64).tobytes()
+        return head + body
+
+    @classmethod
+    def from_payload(cls, cfg: TDigestConfig, payload: bytes) -> "TDigest":
+        (n,) = struct.unpack_from("<Q", payload, 0)
+        arr = np.frombuffer(payload, dtype=np.float64, offset=8).reshape(-1, 2)
+        out = cls(cfg)
+        out.n = n
+        out.means = arr[:, 0].copy()
+        out.weights = arr[:, 1].copy()
+        return out
+
+
+def build_blob(values: np.ndarray, cfg: TDigestConfig) -> bytes:
+    t = TDigest(cfg)
+    t.update(values)
+    return blobmod.pack("tdigest", cfg, t.to_payload())
+
+
+def merge_blobs(a: bytes, b: bytes) -> bytes:
+    na, ca, pa = blobmod.unpack(a)
+    nb, cb, pb = blobmod.unpack(b)
+    if na != "tdigest" or nb != "tdigest":
+        raise SketchConfigError("merge_blobs: not tdigest blobs")
+    ca.require_same(cb)
+    merged = TDigest.from_payload(ca, pa).merge(TDigest.from_payload(cb, pb))
+    return blobmod.pack("tdigest", ca, merged.to_payload())
+
+
+def quantiles_blob(blob: bytes, qs) -> np.ndarray:
+    name, cfg, payload = blobmod.unpack(blob)
+    if name != "tdigest":
+        raise SketchConfigError("quantiles_blob: not a tdigest blob")
+    return TDigest.from_payload(cfg, payload).quantiles(qs)
