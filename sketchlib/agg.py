@@ -1,0 +1,263 @@
+"""Distributed sketch aggregation — the Spark-native partial/final pipeline.
+
+This is the structural heart of the graft (SURVEY.md §3.2): the reference
+builds thread-private filters and OR-merges them (bloomfilter-bsd benchmark
+harness, A18 [path-level, unverified]); we build *partition*-private sketches
+inside ``mapInArrow`` (one Python worker per partition, whole Arrow batches,
+no per-row Python) and merge them with a B-ary ``applyInPandas`` tree —
+manually mirroring Spark's own partial→final hash-aggregation physical plan,
+because PySpark exposes no Python UDAF (SURVEY.md §3.3).
+
+Scale notes (the 100 TB story):
+- the only shuffles are the optional salted repartition and the merge tree;
+  partials are tiny (KB–MB blobs), so the merge shuffle moves ~P blobs, not
+  data;
+- merge is B-ary (default 64): 1,000,000 partitions → 3 levels; each level is
+  a groupBy over (sketch, group, bucket) — no skew possible since bucket ids
+  are uniform by construction;
+- token-frequency skew (Zipf corpora) cannot skew the *build* because
+  partials are per-partition regardless of key values; salting
+  (``salt_repartition``) equalizes *partition sizes* when upstream layout is
+  skewed (e.g. one giant file).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import reduce
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+from sketchlib import arrowutil, blob as blobmod, bloom, cms, hll, kll, minhash, tdigest
+from sketchlib.config import (
+    BloomConfig, CMSConfig, HLLConfig, KLLConfig, MinHashConfig, SketchConfigError, TDigestConfig, _Cfg,
+)
+
+MODULES = {
+    "bloom": bloom,
+    "hll": hll,
+    "cms": cms,
+    "kll": kll,
+    "tdigest": tdigest,
+    "minhash": minhash,
+}
+
+_CFG_TO_SKETCH = {
+    BloomConfig: "bloom",
+    HLLConfig: "hll",
+    CMSConfig: "cms",
+    KLLConfig: "kll",
+    TDigestConfig: "tdigest",
+    MinHashConfig: "minhash",
+}
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """One sketch to build: ``name`` labels the output row; ``col`` is the
+    input column (``array<int>`` list columns are flattened, numeric scalar
+    columns used as-is)."""
+
+    name: str
+    cfg: _Cfg
+    col: str
+
+    @property
+    def sketch(self) -> str:
+        return _CFG_TO_SKETCH[type(self.cfg)]
+
+
+PARTIAL_SCHEMA = (
+    "sketch string, group string, part int, blob binary, "
+    "rows bigint, items bigint, t_ms double"
+)
+
+_GLOBAL = ""  # group label when group_by is None
+
+
+def salt_repartition(df: DataFrame, num_partitions: int, keys: list[str], salt: int = 0) -> DataFrame:
+    """Spread rows uniformly over ``num_partitions`` by hashing keys + salt —
+    the explicit skew-handling mandated by the north rule. Hash-based (not
+    round-robin) so layout is deterministic given (input, salt)."""
+    cols = [F.col(c) for c in keys] + [F.lit(salt)]
+    return df.repartition(num_partitions, F.xxhash64(*cols))
+
+
+def _build_partials_fn(specs: list[SketchSpec], group_by: str | None):
+    spec_list = [(s.name, s.sketch, s.cfg.to_json(), s.col) for s in specs]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
+        t0 = time.perf_counter()
+        # state[(spec_name, group)] -> (module, cfg, state_obj, rows, items)
+        state: dict[tuple[str, str], list] = {}
+        specs_rt = [
+            (name, MODULES[sk], _Cfg.from_json(cj), col) for name, sk, cj, col in spec_list
+        ]
+
+        def _get(name, module, cfg, group):
+            key = (name, group)
+            st = state.get(key)
+            if st is None:
+                if hasattr(module, "KLL"):
+                    obj = module.KLL(cfg)
+                elif hasattr(module, "TDigest"):
+                    obj = module.TDigest(cfg)
+                else:
+                    obj = module.empty(cfg)
+                st = state[key] = [module, cfg, obj, 0, 0]
+            return st
+
+        def _update(st, values):
+            module, cfg, obj = st[0], st[1], st[2]
+            if hasattr(obj, "update"):
+                obj.update(values.astype(np.float64, copy=False))
+            else:
+                module.insert(obj, values, cfg)
+            st[4] += int(values.size)
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if group_by is None:
+                groups = [(_GLOBAL, None)]
+            else:
+                gcol = batch.column(group_by).to_numpy(zero_copy_only=False)
+                uniq = np.unique(gcol.astype(object))
+                groups = [(str(g), np.flatnonzero(gcol == g)) for g in uniq]
+            for name, module, cfg, col in specs_rt:
+                arr = batch.column(col)
+                for gval, rows_idx in groups:
+                    st = _get(name, module, cfg, gval)
+                    sub = arr if rows_idx is None else arr.take(pa.array(rows_idx))
+                    values = arrowutil.sketch_values(sub)
+                    _update(st, values)
+                    st[3] += batch.num_rows if rows_idx is None else int(rows_idx.size)
+
+        t_ms = (time.perf_counter() - t0) * 1000.0
+        out = {"sketch": [], "group": [], "part": [], "blob": [], "rows": [], "items": [], "t_ms": []}
+        for (name, group), (module, cfg, obj, rows, items) in sorted(state.items()):
+            if hasattr(obj, "to_payload"):
+                payload = obj.to_payload()
+            else:
+                payload = obj.tobytes()
+            sketch_kind = _CFG_TO_SKETCH[type(cfg)]
+            out["sketch"].append(name)
+            out["group"].append(group)
+            out["part"].append(part_id)
+            out["blob"].append(blobmod.pack(sketch_kind, cfg, payload))
+            out["rows"].append(rows)
+            out["items"].append(items)
+            out["t_ms"].append(t_ms)
+        if out["sketch"]:
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema(
+                    [
+                        ("sketch", pa.string()),
+                        ("group", pa.string()),
+                        ("part", pa.int32()),
+                        ("blob", pa.binary()),
+                        ("rows", pa.int64()),
+                        ("items", pa.int64()),
+                        ("t_ms", pa.float64()),
+                    ]
+                ),
+            )
+
+    return fn
+
+
+def build_partials(
+    df: DataFrame,
+    specs: list[SketchSpec],
+    group_by: str | None = None,
+    num_partitions: int | None = None,
+    salt: int = 0,
+    salt_keys: list[str] | None = None,
+) -> DataFrame:
+    """Per-partition partial sketches. Column-prunes to exactly the needed
+    columns (so the parquet scan reads only them), optionally salt-repartitions
+    for skewed upstream layouts."""
+    if not specs:
+        raise SketchConfigError("no sketch specs given")
+    names = [s.name for s in specs]
+    if len(set(names)) != len(names):
+        raise SketchConfigError("duplicate spec names")
+    cols = sorted({s.col for s in specs} | ({group_by} if group_by else set()))
+    pruned = df.select(*cols)
+    if num_partitions:
+        if salt_keys:
+            pruned = salt_repartition(pruned, num_partitions, salt_keys, salt)
+        else:
+            pruned = pruned.repartition(num_partitions)
+    return pruned.mapInArrow(_build_partials_fn(specs, group_by), PARTIAL_SCHEMA)
+
+
+def _merge_group(pdf):
+    """Merge one (sketch, group[, bucket]) frame of partials into one row.
+    Deterministic: sorted by part id before the fold."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("part", kind="stable")
+    blobs = list(pdf["blob"])
+    name, cfg, _ = blobmod.unpack(blobs[0])
+    module = MODULES[name]
+    merged = reduce(module.merge_blobs, blobs)
+    return pd.DataFrame(
+        {
+            "sketch": [pdf["sketch"].iloc[0]],
+            "group": [pdf["group"].iloc[0]],
+            "part": [int(pdf["part"].min())],
+            "blob": [merged],
+            "rows": [int(pdf["rows"].sum())],
+            "items": [int(pdf["items"].sum())],
+            "t_ms": [float(pdf["t_ms"].sum())],
+        }
+    )
+
+
+def merge_partials(partials: DataFrame, fanout: int = 64, levels: int = 1) -> DataFrame:
+    """B-ary tree merge. ``levels`` is ceil(log_fanout(P)) — 1 for P <= 64,
+    2 for P <= 4096, 3 covers a million partitions. Each level shuffles only
+    blob rows."""
+    df = partials
+    for lvl in range(levels - 1):
+        bucketed = df.withColumn("bucket", F.pmod(F.col("part"), F.lit(fanout ** (levels - 1 - lvl))))
+        df = (
+            bucketed.groupBy("sketch", "group", "bucket")
+            .applyInPandas(
+                lambda pdf: _merge_group(pdf.drop(columns=["bucket"])), PARTIAL_SCHEMA
+            )
+        )
+    return df.groupBy("sketch", "group").applyInPandas(_merge_group, PARTIAL_SCHEMA)
+
+
+def build_sketches(
+    df: DataFrame,
+    specs: list[SketchSpec],
+    group_by: str | None = None,
+    num_partitions: int | None = None,
+    salt: int = 0,
+    salt_keys: list[str] | None = None,
+    fanout: int = 64,
+) -> DataFrame:
+    """End-to-end: partials → tree merge → one row per (sketch, group)."""
+    partials = build_partials(df, specs, group_by, num_partitions, salt, salt_keys)
+    n_parts = num_partitions or df.rdd.getNumPartitions()
+    levels = 1
+    while fanout**levels < n_parts:
+        levels += 1
+    return merge_partials(partials, fanout=fanout, levels=levels)
+
+
+def collect_blobs(final: DataFrame) -> dict[tuple[str, str], bytes]:
+    """{(spec_name, group): blob} — final blobs are KB–MB, safe to collect."""
+    return {(r["sketch"], r["group"]): bytes(r["blob"]) for r in final.collect()}
