@@ -91,6 +91,10 @@ class BloomConfig(_Cfg):
             raise SketchConfigError("k must be in [1, 16]")
         if self.k % self.zones:
             raise SketchConfigError("zones must divide k")
+        if self.k % self.sectors:
+            # each sector must receive exactly k/s bits, else the sectorized
+            # FPR formula ([SIGMOD19] §3.2) does not describe the layout
+            raise SketchConfigError("sectors must divide k")
         if self.m_bits < B:
             raise SketchConfigError("m_bits must be >= one block")
 

@@ -109,7 +109,7 @@ def suggest_config(
     while m <= max_m_bits:
         best_k, best_f = None, 1.0
         for k in range(1, 17):
-            if k % zones:
+            if k % zones or k % sectors:
                 continue
             try:
                 cfg = BloomConfig(

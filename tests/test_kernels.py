@@ -1,0 +1,200 @@
+"""T1 — kernel unit tests: each NumPy kernel vs a trivially-correct scalar
+reference implementation (mirrors the reference's scalar-vs-SIMD consistency
+tests, SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sketchlib import blob as blobmod, bloom, cms, hll, kll, minhash, tdigest
+from sketchlib.config import (
+    BloomConfig, CMSConfig, HLLConfig, KLLConfig, MinHashConfig, SketchConfigError,
+)
+from sketchlib.hashing import MUL_CONSTANTS_32, bit_length64, popcount64, splitmix64
+
+RNG = np.random.default_rng(42)
+
+
+# ---------- hashing primitives ------------------------------------------------
+
+def test_popcount_exact():
+    xs = RNG.integers(0, 2**63, 10_000, dtype=np.uint64)
+    xs = np.concatenate([xs, np.array([0, 1, 2**63, 2**64 - 1], dtype=np.uint64)])
+    got = popcount64(xs)
+    want = np.array([bin(int(x)).count("1") for x in xs])
+    assert np.array_equal(got, want)
+
+
+def test_bit_length_exact():
+    xs = RNG.integers(0, 2**63, 10_000, dtype=np.uint64)
+    xs = np.concatenate([xs, np.array([0, 1, 3, 2**63, 2**64 - 1], dtype=np.uint64)])
+    got = bit_length64(xs)
+    want = np.array([int(x).bit_length() for x in xs])
+    assert np.array_equal(got, want)
+
+
+def test_splitmix_deterministic_and_mixed():
+    xs = np.arange(100_000, dtype=np.uint64)
+    h1, h2 = splitmix64(xs, 1), splitmix64(xs, 1)
+    assert np.array_equal(h1, h2)
+    assert not np.array_equal(splitmix64(xs, 2), h1)
+    # dense inputs must produce well-spread top bits
+    top = (h1 >> np.uint64(56)).astype(np.int64)
+    counts = np.bincount(top, minlength=256)
+    assert counts.min() > 0.7 * len(xs) / 256
+
+
+# ---------- bloom vs scalar reference ------------------------------------------
+
+def _scalar_bit_indices(key: int, cfg: BloomConfig) -> list[int]:
+    """Independent pure-python re-derivation of the documented layout."""
+    def mul32(x, i):
+        return (x * int(MUL_CONSTANTS_32[(i + cfg.hash_seed) % len(MUL_CONSTANTS_32)])) % 2**32
+
+    B = cfg.block_bits
+    lb_blocks = cfg.n_blocks.bit_length() - 1
+    block = mul32(key, 0) >> (32 - lb_blocks) if lb_blocks else 0
+    base = block * B
+    lb_sector = cfg.sector_bits.bit_length() - 1
+    out = []
+    if cfg.zones == 1:
+        for i in range(cfg.k):
+            off = mul32(key, 1 + i) >> (32 - lb_sector)
+            out.append(base + (i % cfg.sectors) * cfg.sector_bits + off)
+    else:
+        z = cfg.zones
+        kpz, spz = cfg.k // z, cfg.sectors // z
+        zone_bits = B // z
+        lb_z = z.bit_length() - 1
+        for g in range(z):
+            zone = mul32(key, 1 + cfg.k + g) >> (32 - lb_z) if lb_z else 0
+            for j in range(kpz):
+                i = g * kpz + j
+                off = mul32(key, 1 + i) >> (32 - lb_sector)
+                out.append(base + zone * zone_bits + (j % spz) * cfg.sector_bits + off)
+    return out
+
+
+GRID = [
+    BloomConfig(m_bits=1 << 16, k=4, word_bits=32, words_per_block=1, sectors=1),
+    BloomConfig(m_bits=1 << 16, k=4, word_bits=64, words_per_block=1, sectors=1),
+    BloomConfig(m_bits=1 << 16, k=8, word_bits=64, words_per_block=8, sectors=1),
+    BloomConfig(m_bits=1 << 16, k=8, word_bits=64, words_per_block=8, sectors=4),
+    BloomConfig(m_bits=1 << 16, k=8, word_bits=64, words_per_block=8, sectors=8),
+    BloomConfig(m_bits=1 << 16, k=8, word_bits=64, words_per_block=8, sectors=8, zones=2),
+    BloomConfig(m_bits=1 << 16, k=6, word_bits=32, words_per_block=16, sectors=2),
+]
+
+
+@pytest.mark.parametrize("cfg", GRID, ids=lambda c: f"B{c.block_bits}s{c.sectors}z{c.zones}k{c.k}")
+def test_bloom_matches_scalar_reference(cfg):
+    keys = RNG.integers(0, 2**31 - 1, 500).astype(np.int32)
+    bits = bloom.empty(cfg)
+    bloom.insert(bits, keys, cfg)
+    want = np.zeros(cfg.n_bytes, dtype=np.uint8)
+    for key in keys.tolist():
+        for b in _scalar_bit_indices(int(key) % 2**32, cfg):
+            want[b >> 3] |= 1 << (b & 7)
+    assert np.array_equal(bits, want)
+    # contains agrees with scalar membership for present + absent keys
+    probes = np.r_[keys[:100], RNG.integers(2**20, 2**31 - 1, 400).astype(np.int32)]
+    got = bloom.contains(probes, bits, cfg)
+    for p, g in zip(probes.tolist(), got.tolist()):
+        idxs = _scalar_bit_indices(int(p) % 2**32, cfg)
+        scalar = all(want[b >> 3] >> (b & 7) & 1 for b in idxs)
+        assert scalar == g
+
+
+def test_bloom_no_false_negatives_large():
+    cfg = BloomConfig(m_bits=1 << 22, k=8, word_bits=64, words_per_block=8, sectors=8)
+    keys = RNG.integers(0, 2**31 - 1, 300_000).astype(np.int32)
+    b = bloom.build(keys, cfg)
+    assert bloom.contains_blob(keys, b).all()
+
+
+def test_bloom_huge_filter_sort_path():
+    """m > 2**28 exercises the sort/reduceat scatter path."""
+    cfg = BloomConfig(m_bits=1 << 29, k=4, word_bits=64, words_per_block=8, sectors=4)
+    keys = RNG.integers(0, 2**31 - 1, 50_000).astype(np.int32)
+    b = bloom.build(keys, cfg)
+    assert bloom.contains_blob(keys, b).all()
+    # cross-check against the packbits path at the same config
+    import sketchlib.bloom as bl
+    bits = np.zeros(cfg.n_bytes, np.uint8)
+    old = bl._CHUNK
+    idx = bl._bit_indices(keys.astype(np.uint32), cfg).ravel()
+    scratch_bytes = np.zeros(cfg.n_bytes, np.uint8)
+    byte_idx = (idx >> np.uint64(3)).astype(np.int64)
+    mask = (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    for bi, mk in zip(byte_idx, mask):
+        scratch_bytes[bi] |= mk
+    _, _, payload = blobmod.unpack(b)
+    assert bytes(scratch_bytes) == payload
+
+
+def test_bloom_negative_tokens_rejected():
+    cfg = BloomConfig(m_bits=1 << 12, k=2)
+    with pytest.raises(SketchConfigError):
+        bloom.build(np.array([-1, 2, 3], dtype=np.int32), cfg)
+
+
+def test_bloom_merge_equals_union_build():
+    cfg = BloomConfig(m_bits=1 << 18, k=8, word_bits=64, words_per_block=8, sectors=8)
+    a = RNG.integers(0, 2**31 - 1, 10_000).astype(np.int32)
+    b = RNG.integers(0, 2**31 - 1, 10_000).astype(np.int32)
+    merged = bloom.merge_blobs(bloom.build(a, cfg), bloom.build(b, cfg))
+    assert merged == bloom.build(np.r_[a, b], cfg)
+
+
+def test_bloom_config_mismatch_raises():
+    a = bloom.build(np.arange(10, dtype=np.int32), BloomConfig(m_bits=1 << 12, k=2))
+    b = bloom.build(np.arange(10, dtype=np.int32), BloomConfig(m_bits=1 << 13, k=2))
+    with pytest.raises(SketchConfigError):
+        bloom.merge_blobs(a, b)
+
+
+# ---------- edge/property inputs (FIXTURES.md F5) -------------------------------
+
+def test_edge_inputs_all_sketches():
+    cfgs = {
+        "bloom": BloomConfig(m_bits=1 << 12, k=4),
+        "hll": HLLConfig(p=8),
+        "cms": CMSConfig(eps=0.01, delta=0.1),
+        "kll": KLLConfig(k=64),
+        "minhash": MinHashConfig(num_perm=16),
+    }
+    edge_sets = [
+        np.array([], dtype=np.int32),
+        np.array([0], dtype=np.int32),
+        np.full(5_000, 7, dtype=np.int32),  # all-identical: max collision pressure
+        np.array([0, 131071, 2**31 - 1], dtype=np.int32),  # boundary ids
+        np.arange(10_000, dtype=np.int32),  # dense sequential (mul-hash worst case)
+    ]
+    for vals in edge_sets:
+        bb = bloom.build_blob(vals, cfgs["bloom"])
+        if vals.size:
+            assert bloom.contains_blob(vals, bb).all()
+        hb = hll.build_blob(vals, cfgs["hll"])
+        est = hll.estimate_blob(hb)
+        exact = len(np.unique(vals))
+        assert abs(est - exact) <= max(3.0, 0.2 * exact)
+        cb = cms.build_blob(vals, cfgs["cms"])
+        if vals.size:
+            assert (cms.query_blob(np.unique(vals), cb) >= 1).all()
+        kb = kll.build_blob(vals, cfgs["kll"])
+        if vals.size:
+            q = kll.quantiles_blob(kb, [0.5])[0]
+            assert vals.min() <= q <= vals.max()
+        minhash.build_blob(vals, cfgs["minhash"])
+
+
+def test_blob_roundtrip_and_bad_blob():
+    cfg = HLLConfig(p=6)
+    b = hll.build_blob(np.arange(100, dtype=np.int64), cfg)
+    name, cfg2, payload = blobmod.unpack(b)
+    assert name == "hll" and cfg2 == cfg and len(payload) == 64
+    with pytest.raises(SketchConfigError):
+        blobmod.unpack(b"XXXX" + b[4:])
+    with pytest.raises(SketchConfigError):
+        bloom.contains_blob(np.arange(3, dtype=np.int32), b)  # wrong sketch kind

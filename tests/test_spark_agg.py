@@ -1,0 +1,190 @@
+"""T5 — end-to-end Spark pipeline: build/merge over a real DataFrame, grouped
+sketches, partition-count invariance through the distributed path, probe
+column semantics, and T7 cross-checks against Spark's own JVM sketches."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib import agg, bloom, cms, datagen, fpr, hll, kll, probe, tdigest
+from sketchlib.config import BloomConfig, CMSConfig, HLLConfig, KLLConfig, TDigestConfig
+
+N_DOCS = 6_000
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = datagen.corpus_df(spark, N_DOCS, partitions=8).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def blobs(spark, corpus):
+    specs = [
+        agg.SketchSpec("bloom", BloomConfig(m_bits=1 << 21, k=8, word_bits=64, words_per_block=8, sectors=8), "tokens"),
+        agg.SketchSpec("hll", HLLConfig(p=14), "tokens"),
+        agg.SketchSpec("cms", CMSConfig(eps=0.001, delta=0.01), "tokens"),
+        agg.SketchSpec("kll", KLLConfig(k=200), "n_tok"),
+        agg.SketchSpec("tdigest", TDigestConfig(compression=100), "n_tok"),
+    ]
+    return agg.collect_blobs(agg.build_sketches(corpus, specs))
+
+
+def test_corpus_contract(corpus):
+    assert corpus.count() == N_DOCS
+    bad = corpus.filter(F.size("tokens") != F.col("n_tok")).count()
+    assert bad == 0
+    assert corpus.filter(F.col("n_tok") < 8).count() == 0
+    srcs = {r["source"] for r in corpus.select("source").distinct().collect()}
+    assert srcs <= {"web", "books", "code", "wiki"}
+
+
+def test_datagen_partition_count_invariant(spark):
+    a = datagen.corpus_df(spark, 2_000, partitions=1).orderBy("doc_id").collect()
+    b = datagen.corpus_df(spark, 2_000, partitions=4).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_hll_vs_exact_and_jvm(spark, corpus, blobs):
+    exact = corpus.select(F.explode("tokens").alias("t")).agg(
+        F.countDistinct("t").alias("d")
+    ).collect()[0]["d"]
+    est = hll.estimate_blob(blobs[("hll", "")])
+    assert abs(est - exact) / exact <= 4 * 1.04 / math.sqrt(2**14)
+    # T7: agreement with Spark's JVM HLL estimate (both approximate the truth)
+    jvm = corpus.select(F.explode("tokens").alias("t")).agg(
+        F.expr("approx_count_distinct(t)").alias("d")
+    ).collect()[0]["d"]
+    assert abs(est - jvm) / exact < 0.1
+
+
+def test_bloom_no_fn_and_fpr(spark, corpus, blobs):
+    blob = blobs[("bloom", "")]
+    toks = corpus.select(F.explode("tokens").alias("t")).distinct()
+    n_distinct = toks.count()
+    probed = probe.with_bloom_membership(toks, blob, "t")
+    assert probed.filter(~F.col("member")).count() == 0
+    # absent ids: [VOCAB, 2**31) never occur
+    absent = spark.range(300_000).select(
+        (F.col("id") + datagen.VOCAB).cast("int").alias("t")
+    )
+    fp = probe.with_bloom_membership(absent, blob, "t").filter("member").count()
+    emp = fp / 300_000
+    from sketchlib import blob as blobmod
+
+    _, cfg, _ = blobmod.unpack(blob)
+    ana = fpr.fpr(cfg, n_distinct)
+    sigma = math.sqrt(max(ana, 1e-12) / 300_000)
+    assert abs(emp - ana) <= 5 * sigma + 0.1 * ana + 1e-6
+
+
+def test_cms_vs_exact_and_jvm(spark, corpus, blobs):
+    blob = blobs[("cms", "")]
+    top = (
+        corpus.select(F.explode("tokens").alias("t"))
+        .groupBy("t").count().orderBy(F.desc("count")).limit(50).collect()
+    )
+    ids = np.array([r["t"] for r in top], dtype=np.int64)
+    true = np.array([r["count"] for r in top], dtype=np.int64)
+    est = cms.query_blob(ids, blob)
+    n = cms.total_blob(blob)
+    assert (est >= true).all()
+    assert (est <= true + 0.001 * n).mean() >= 0.99
+
+
+def test_kll_tdigest_vs_exact_percentile(spark, corpus, blobs):
+    qs = [0.1, 0.5, 0.9]
+    exact = corpus.agg(
+        F.expr(f"percentile(n_tok, array({','.join(map(str, qs))}))").alias("p")
+    ).collect()[0]["p"]
+    n = corpus.count()
+    vals = np.array([r["n_tok"] for r in corpus.select("n_tok").collect()], dtype=np.float64)
+    sorted_v = np.sort(vals)
+    for name in ("kll", "tdigest"):
+        mod = kll if name == "kll" else tdigest
+        est = mod.quantiles_blob(blobs[(name, "")], qs)
+        for e, q in zip(est, qs):
+            r_lo = np.searchsorted(sorted_v, e, "left") / n
+            r_hi = np.searchsorted(sorted_v, e, "right") / n
+            err = 0.0 if r_lo <= q <= r_hi else min(abs(r_lo - q), abs(r_hi - q))
+            assert err <= 0.02, (name, q, err)
+
+
+def test_grouped_sketches(spark, corpus):
+    final = agg.build_sketches(
+        corpus, [agg.SketchSpec("hll_src", HLLConfig(p=12), "tokens")], group_by="source"
+    )
+    rows = {r["group"]: bytes(r["blob"]) for r in final.collect()}
+    assert set(rows) == {"web", "books", "code", "wiki"}
+    for src, blob in rows.items():
+        exact = (
+            corpus.filter(F.col("source") == src)
+            .select(F.explode("tokens").alias("t"))
+            .agg(F.countDistinct("t").alias("d")).collect()[0]["d"]
+        )
+        est = hll.estimate_blob(blob)
+        assert abs(est - exact) / exact <= 4 * 1.04 / math.sqrt(2**12), src
+
+
+def test_spark_partition_count_byte_identical(spark, corpus):
+    """T4 on the distributed path: the same corpus at different partition
+    counts and salts must merge to byte-identical blobs."""
+    spec = [
+        agg.SketchSpec("bloom", BloomConfig(m_bits=1 << 18, k=4), "tokens"),
+        agg.SketchSpec("hll", HLLConfig(p=10), "tokens"),
+        agg.SketchSpec("cms", CMSConfig(eps=0.01, delta=0.1), "tokens"),
+    ]
+    ref = agg.collect_blobs(agg.build_sketches(corpus, spec, num_partitions=2))
+    for parts, salt in ((7, 0), (16, 1), (3, 99)):
+        got = agg.collect_blobs(
+            agg.build_sketches(
+                corpus, spec, num_partitions=parts, salt=salt, salt_keys=["doc_id"]
+            )
+        )
+        assert got == ref, (parts, salt)
+
+
+def test_merge_tree_multilevel_equivalence(spark, corpus):
+    spec = [agg.SketchSpec("hll", HLLConfig(p=10), "tokens")]
+    partials = agg.build_partials(corpus, spec, num_partitions=16)
+    one = agg.collect_blobs(agg.merge_partials(partials, fanout=64, levels=1))
+    two = agg.collect_blobs(agg.merge_partials(partials, fanout=4, levels=2))
+    three = agg.collect_blobs(agg.merge_partials(partials, fanout=3, levels=3))
+    assert one == two == three
+
+
+def test_bloom_prune_join_exactness(spark):
+    left = spark.range(100_000).select((F.col("id") % 50_000).cast("int").alias("k"))
+    right = spark.range(1_000).select((F.col("id") * 7).cast("int").alias("k"))
+    right_keys = np.array([r["k"] for r in right.collect()], dtype=np.int32)
+    cfg = fpr.suggest_config(right_keys.size, 0.01, block_bits=512, sectors=8)
+    blob = bloom.build(right_keys, cfg)
+    got = probe.bloom_prune_join(left, right.withColumnRenamed("k", "rk"), "k", blob,
+                                 right_key="rk").count()
+    want = left.join(right.withColumnRenamed("k", "rk"), F.col("k") == F.col("rk")).count()
+    assert got == want
+
+
+def test_array_column_probe_all_semantics(spark, corpus, blobs):
+    """Array-column probe = ALL tokens member; over the source corpus it must
+    be all-true (no false negatives)."""
+    probed = probe.with_bloom_membership(corpus.limit(500), blobs[("bloom", "")], "tokens")
+    assert probed.filter(~F.col("member")).count() == 0
+
+
+def test_empty_input_and_empty_partitions(spark):
+    df = datagen.corpus_df(spark, 100, partitions=1).filter("n_tok < 0")  # empty
+    spec = [agg.SketchSpec("hll", HLLConfig(p=8), "tokens")]
+    assert agg.build_sketches(df, spec).count() == 0
+    # more partitions than rows -> some empty partitions, still correct
+    small = datagen.corpus_df(spark, 30, partitions=1).repartition(16)
+    blob = agg.collect_blobs(agg.build_sketches(small, spec))[("hll", "")]
+    exact = small.select(F.explode("tokens").alias("t")).agg(
+        F.countDistinct("t").alias("d")).collect()[0]["d"]
+    assert abs(hll.estimate_blob(blob) - exact) / exact < 0.15
