@@ -88,7 +88,10 @@ def salt_repartition(df: DataFrame, num_partitions: int, keys: list[str], salt: 
     return df.repartition(num_partitions, F.xxhash64(*cols))
 
 
-def _build_partials_fn(specs: list[SketchSpec], group_by: str | None):
+def _build_partials_fn(specs: list[SketchSpec], group_by: str | None, part_col: str | None = None):
+    """``part_col``: if given, the logical partition id is read from that
+    column (deterministic, data-derived — the checkpoint/resume path keys
+    lineage on it); otherwise the physical Spark partition id is used."""
     spec_list = [(s.name, s.sketch, s.cfg.to_json(), s.col) for s in specs]
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -96,14 +99,14 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None):
 
         part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
         t0 = time.perf_counter()
-        # state[(spec_name, group)] -> (module, cfg, state_obj, rows, items)
-        state: dict[tuple[str, str], list] = {}
+        # state[(spec_name, group, pid)] -> (module, cfg, state_obj, rows, items)
+        state: dict[tuple[str, str, int], list] = {}
         specs_rt = [
             (name, MODULES[sk], _Cfg.from_json(cj), col) for name, sk, cj, col in spec_list
         ]
 
-        def _get(name, module, cfg, group):
-            key = (name, group)
+        def _get(name, module, cfg, group, pid):
+            key = (name, group, pid)
             st = state.get(key)
             if st is None:
                 if hasattr(module, "KLL"):
@@ -126,16 +129,28 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None):
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            if group_by is None:
-                groups = [(_GLOBAL, None)]
+            # segments: (group_label, pid, row_indices-or-None)
+            if group_by is None and part_col is None:
+                segments = [(_GLOBAL, part_id, None)]
             else:
-                gcol = batch.column(group_by).to_numpy(zero_copy_only=False)
-                uniq = np.unique(gcol.astype(object))
-                groups = [(str(g), np.flatnonzero(gcol == g)) for g in uniq]
+                n = batch.num_rows
+                if group_by is not None:
+                    gcol = batch.column(group_by).to_numpy(zero_copy_only=False).astype(object)
+                else:
+                    gcol = np.full(n, _GLOBAL, dtype=object)
+                if part_col is not None:
+                    pcol = batch.column(part_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                else:
+                    pcol = np.full(n, part_id, dtype=np.int64)
+                segments = []
+                for g in np.unique(gcol):
+                    gmask = gcol == g
+                    for p in np.unique(pcol[gmask]):
+                        segments.append((str(g), int(p), np.flatnonzero(gmask & (pcol == p))))
             for name, module, cfg, col in specs_rt:
                 arr = batch.column(col)
-                for gval, rows_idx in groups:
-                    st = _get(name, module, cfg, gval)
+                for gval, pid, rows_idx in segments:
+                    st = _get(name, module, cfg, gval, pid)
                     sub = arr if rows_idx is None else arr.take(pa.array(rows_idx))
                     values = arrowutil.sketch_values(sub)
                     _update(st, values)
@@ -143,7 +158,7 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None):
 
         t_ms = (time.perf_counter() - t0) * 1000.0
         out = {"sketch": [], "group": [], "part": [], "blob": [], "rows": [], "items": [], "t_ms": []}
-        for (name, group), (module, cfg, obj, rows, items) in sorted(state.items()):
+        for (name, group, pid), (module, cfg, obj, rows, items) in sorted(state.items()):
             if hasattr(obj, "to_payload"):
                 payload = obj.to_payload()
             else:
@@ -151,7 +166,7 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None):
             sketch_kind = _CFG_TO_SKETCH[type(cfg)]
             out["sketch"].append(name)
             out["group"].append(group)
-            out["part"].append(part_id)
+            out["part"].append(pid)
             out["blob"].append(blobmod.pack(sketch_kind, cfg, payload))
             out["rows"].append(rows)
             out["items"].append(items)
@@ -182,23 +197,32 @@ def build_partials(
     num_partitions: int | None = None,
     salt: int = 0,
     salt_keys: list[str] | None = None,
+    part_col: str | None = None,
 ) -> DataFrame:
     """Per-partition partial sketches. Column-prunes to exactly the needed
     columns (so the parquet scan reads only them), optionally salt-repartitions
-    for skewed upstream layouts."""
+    for skewed upstream layouts. With ``part_col``, partials are keyed by that
+    deterministic logical partition id instead of the physical Spark partition
+    (the checkpoint/resume path)."""
     if not specs:
         raise SketchConfigError("no sketch specs given")
     names = [s.name for s in specs]
     if len(set(names)) != len(names):
         raise SketchConfigError("duplicate spec names")
-    cols = sorted({s.col for s in specs} | ({group_by} if group_by else set()))
+    cols = sorted(
+        {s.col for s in specs}
+        | ({group_by} if group_by else set())
+        | ({part_col} if part_col else set())
+    )
     pruned = df.select(*cols)
     if num_partitions:
-        if salt_keys:
+        if part_col:
+            pruned = pruned.repartition(num_partitions, F.col(part_col))
+        elif salt_keys:
             pruned = salt_repartition(pruned, num_partitions, salt_keys, salt)
         else:
             pruned = pruned.repartition(num_partitions)
-    return pruned.mapInArrow(_build_partials_fn(specs, group_by), PARTIAL_SCHEMA)
+    return pruned.mapInArrow(_build_partials_fn(specs, group_by, part_col), PARTIAL_SCHEMA)
 
 
 def _merge_group(pdf):

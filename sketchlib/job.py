@@ -1,0 +1,187 @@
+"""Resumable, checkpointed sketch-build jobs with per-partition lineage.
+
+North-rule requirements (BASELINE.json:14): jobs are resumable from
+per-partition sketch checkpoints, with lineage and metrics recorded per
+partition, and token-frequency skew handled via salted repartitioning.
+
+Mechanism:
+
+1. Rows get a **deterministic logical partition id**
+   ``part_id = pmod(xxhash64(salt_keys..., salt), P)`` — pure data function,
+   independent of physical layout, cluster size, or execution order. Salting
+   by high-cardinality keys (``doc_id``) equalizes partition sizes no matter
+   how skewed the upstream file layout or token distribution is.
+2. Partial sketches are built per logical partition (``agg.build_partials``
+   with ``part_col``) and appended to ``<ckpt>/partials`` parquet with
+   lineage columns ``(sketch, group, part, blob, rows, items, t_ms)``.
+3. On (re)start, completed part ids are read back; only rows whose part id is
+   missing are rebuilt (anti-join as a hash-set filter — P is small). A run
+   killed after writing some partials resumes where it stopped, and because
+   every sketch merge is a commutative monoid over deterministic partials,
+   the resumed result is byte-identical to a single uninterrupted run (T5).
+4. ``finalize`` tree-merges the partials parquet into final blobs.
+
+At 100 TB / 1000 executors: P is chosen so one logical partition is a few GB
+of tokens; the checkpoint write is P blob rows (KB–MB each); resume cost is
+one scan with a pushed-down filter on a derived column — no shuffle of
+already-done data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sketchlib import agg
+from sketchlib.agg import SketchSpec
+from sketchlib.config import SketchConfigError, _Cfg
+
+PART_COL = "_sk_part"
+
+
+@dataclass(frozen=True)
+class JobSpec:
+    specs: tuple[SketchSpec, ...]
+    num_partitions: int
+    salt: int
+    salt_keys: tuple[str, ...]
+    group_by: str | None = None
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "specs": [
+                    {"name": s.name, "cfg": s.cfg.to_json(), "col": s.col} for s in self.specs
+                ],
+                "num_partitions": self.num_partitions,
+                "salt": self.salt,
+                "salt_keys": list(self.salt_keys),
+                "group_by": self.group_by,
+            },
+            sort_keys=True,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "JobSpec":
+        d = json.loads(s)
+        return JobSpec(
+            specs=tuple(
+                SketchSpec(x["name"], _Cfg.from_json(x["cfg"]), x["col"]) for x in d["specs"]
+            ),
+            num_partitions=d["num_partitions"],
+            salt=d["salt"],
+            salt_keys=tuple(d["salt_keys"]),
+            group_by=d["group_by"],
+        )
+
+
+def with_part_id(df: DataFrame, job: JobSpec) -> DataFrame:
+    cols = [F.col(c) for c in job.salt_keys] + [F.lit(job.salt)]
+    return df.withColumn(
+        PART_COL, F.pmod(F.xxhash64(*cols), F.lit(job.num_partitions)).cast("int")
+    )
+
+
+def _partials_path(ckpt: str) -> str:
+    return os.path.join(ckpt, "partials")
+
+
+def _meta_path(ckpt: str) -> str:
+    return os.path.join(ckpt, "job.json")
+
+
+def completed_parts(spark: SparkSession, ckpt: str) -> set[int]:
+    path = _partials_path(ckpt)
+    if not os.path.exists(path):
+        return set()
+    try:
+        rows = spark.read.parquet(path).select("part").distinct().collect()
+    except Exception:
+        return set()
+    return {r["part"] for r in rows}
+
+
+def run(
+    spark: SparkSession,
+    df: DataFrame,
+    job: JobSpec,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Build (or resume) the job; returns the final merged sketch DataFrame.
+
+    Safe to call repeatedly: each call completes any missing partials, then
+    merges. The partials parquet is the durable unit of progress.
+    """
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    meta_p = _meta_path(checkpoint_dir)
+    if os.path.exists(meta_p):
+        with open(meta_p) as fh:
+            existing = fh.read()
+        if existing != job.to_json():
+            raise SketchConfigError(
+                f"checkpoint at {checkpoint_dir} was created by a different job spec"
+            )
+    else:
+        with open(meta_p, "w") as fh:
+            fh.write(job.to_json())
+
+    done = completed_parts(spark, checkpoint_dir)
+    remaining = set(range(job.num_partitions)) - done
+    if remaining:
+        src = with_part_id(df, job)
+        if done:
+            # partition pruning on the derived id: only missing parts rescan
+            src = src.filter(F.col(PART_COL).isin([int(p) for p in remaining]))
+        partials = agg.build_partials(
+            src,
+            list(job.specs),
+            group_by=job.group_by,
+            num_partitions=min(job.num_partitions, 2048),
+            part_col=PART_COL,
+        )
+        partials.write.mode("append").parquet(_partials_path(checkpoint_dir))
+
+    return finalize(spark, job, checkpoint_dir)
+
+
+def finalize(spark: SparkSession, job: JobSpec, checkpoint_dir: str) -> DataFrame:
+    partials = spark.read.parquet(_partials_path(checkpoint_dir))
+    levels = 1
+    while 64**levels < job.num_partitions:
+        levels += 1
+    return agg.merge_partials(partials, fanout=64, levels=levels)
+
+
+def lineage(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Per-partition lineage & metrics: rows/items/build-ms per (sketch,
+    group, part) — the audit trail the north rule asks for."""
+    return (
+        spark.read.parquet(_partials_path(checkpoint_dir))
+        .select("sketch", "group", "part", "rows", "items", "t_ms",
+                F.length("blob").alias("blob_bytes"))
+        .orderBy("sketch", "group", "part")
+    )
+
+
+def run_with_kill(
+    spark: SparkSession,
+    df: DataFrame,
+    job: JobSpec,
+    checkpoint_dir: str,
+    only_parts: set[int],
+) -> None:
+    """Test hook (T5): simulate a job killed after checkpointing only
+    ``only_parts`` — builds and persists just those partials, then 'dies'."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    with open(_meta_path(checkpoint_dir), "w") as fh:
+        fh.write(job.to_json())
+    src = with_part_id(df, job).filter(F.col(PART_COL).isin([int(p) for p in only_parts]))
+    partials = agg.build_partials(
+        src, list(job.specs), group_by=job.group_by,
+        num_partitions=min(job.num_partitions, 2048), part_col=PART_COL,
+    )
+    partials.write.mode("append").parquet(_partials_path(checkpoint_dir))
