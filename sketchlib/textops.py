@@ -1,0 +1,357 @@
+"""Text / training-data pipeline operators: dedup (exact, MinHash-LSH,
+SimHash, n-gram Jaccard), language-ID heuristic, quality scoring, token
+counting, document fingerprinting.
+
+Not part of the reference (bloomfilter-bsd is a filter library) — these are
+the large-scale training-data operations the graft adds as first-class
+components, built on the same sketch kernels (MinHash signatures reuse
+sketchlib.minhash) and the same Spark idioms: built-in SQL functions where
+expressible (exact dedup, quality stats — Catalyst/Tungsten path), Arrow
+``mapInArrow`` kernels where not (signatures, fingerprints).
+
+Scale notes:
+- exact dedup is a hash-aggregate on sha2(text) — one shuffle, AQE-skew safe;
+- MinHash-LSH is the standard band-bucket join: signatures (Arrow kernel,
+  one pass) → explode to (band, band_hash) → self-join on band keys. Bucket
+  sizes are capped (``max_bucket``) so a degenerate bucket (all-identical
+  docs) cannot produce a quadratic pair explosion on one executor;
+- SimHash candidates use 4x16-bit band exact-match (finds all pairs within
+  Hamming distance 3 by pigeonhole), verified by popcount.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from sketchlib import minhash as mh
+from sketchlib.config import MinHashConfig
+from sketchlib.hashing import splitmix64
+
+# ---------------------------------------------------------------------------
+# exact dedup (pure Spark SQL — Catalyst handles it end to end)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the minimum-id representative of each distinct text (hash-groupBy
+    on sha2 — never shuffles the full text twice)."""
+    h = F.sha2(F.col(text_col), 256).alias("_h")
+    reps = df.select(h, F.col(id_col)).groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return df.join(reps, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# word hashing / shingling kernel (Arrow batch -> NumPy, no per-token Python)
+# ---------------------------------------------------------------------------
+
+def _word_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Flat word-hash array + per-doc segment starts for a batch of texts.
+    Words are factorized (C-speed) then hashed once per distinct word."""
+    words = texts.str.split()
+    lens = words.str.len().fillna(0).astype(np.int64).to_numpy()
+    flat = np.concatenate([w for w in words if w is not None and len(w)]) if lens.sum() else np.array([], dtype=object)
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+    if flat.size == 0:
+        return np.empty(0, dtype=np.uint64), starts
+    codes, uniques = pd.factorize(flat)
+    # hash each distinct word (FNV over utf-8) once, then gather
+    uh = np.empty(len(uniques), dtype=np.uint64)
+    M = np.uint64(0x100000001B3)
+    for i, w in enumerate(uniques):
+        h = 0xCBF29CE484222325
+        for b in w.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        uh[i] = h
+    return splitmix64(uh[codes], seed=11), starts
+
+
+def _shingle_hashes(word_h: np.ndarray, starts: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """n-gram shingle hashes per doc from flat word hashes: combine n
+    consecutive word hashes with distinct rotations. Docs shorter than n
+    contribute their single whole-doc hash."""
+    total = word_h.size
+    ends = np.r_[starts[1:], total]
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), starts.copy()
+    with np.errstate(over="ignore"):
+        acc = word_h.copy()
+        for j in range(1, n):
+            shifted = np.empty_like(word_h)
+            shifted[: total - j] = word_h[j:]
+            shifted[total - j :] = 0
+            acc = acc * np.uint64(0x9E3779B97F4A7C15) + shifted
+    # valid shingle positions: within-doc windows of length n
+    seg_len = ends - starts
+    n_sh = np.maximum(seg_len - (n - 1), np.minimum(seg_len, 1))
+    out_starts = np.r_[0, np.cumsum(n_sh)[:-1]]
+    idx = np.concatenate(
+        [np.arange(s, s + c) for s, c in zip(starts, n_sh) if c > 0]
+    ) if n_sh.sum() else np.empty(0, dtype=np.int64)
+    return splitmix64(acc[idx]), out_starts.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 128, shingle_n: int = 3,
+) -> DataFrame:
+    """(id, signature array<bigint>) — per-doc MinHash over word n-shingles."""
+    cfg = MinHashConfig(num_perm=num_perm)
+    in_fields = [(id_col, df.schema[id_col].dataType.simpleString())]
+    schema = ", ".join(f"{n} {t}" for n, t in in_fields) + ", signature array<bigint>"
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            texts = batch.column(text_col).to_pandas()
+            ids = batch.column(id_col)
+            wh, starts = _word_hashes(texts)
+            sh, sstarts = _shingle_hashes(wh, starts.astype(np.int64), shingle_n)
+            sigs = mh.signatures_segmented(sh, sstarts, cfg)
+            sig_i64 = sigs.view(np.int64)  # reinterpret for Spark bigint
+            arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(sig_i64.ravel(), type=pa.int64()), cfg.num_perm
+            ).cast(pa.list_(pa.int64()))
+            yield pa.RecordBatch.from_arrays([ids, arr], names=[id_col, "signature"])
+
+    return df.select(id_col, text_col).mapInArrow(fn, schema)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id",
+    bands: int = 32, rows_per_band: int = 4, max_bucket: int = 200,
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash). Returns
+    distinct candidate (a, b) pairs with a < b. ``bands * rows_per_band``
+    must equal the signature length."""
+    band_exprs = [
+        F.xxhash64(
+            F.lit(b), *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+        ).alias(f"_b{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_exprs)
+    stacked = banded.select(
+        id_col,
+        F.explode(F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"_b{b}").alias("h"))
+                            for b in range(bands)])).alias("bh"),
+    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    # cap pathological buckets (all-identical corpora) before the self-join
+    sized = stacked.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("band", "h").orderBy(id_col))
+    ).filter(F.col("rn") <= max_bucket)
+    a = sized.select(F.col(id_col).alias("a"), "band", "h")
+    b = sized.select(F.col(id_col).alias("b"), "band", "h")
+    return (
+        a.join(b, on=["band", "h"]).filter(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 128, shingle_n: int = 3, bands: int = 32,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → Jaccard-estimate
+    verification (slot agreement on the full signatures) → pairs >= threshold."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n).cache()
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
+    joined = cands.join(sa, "a").join(sb, "b")
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return (
+        joined.withColumn("jaccard_est", agree / F.lit(num_perm))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("a", "b", "jaccard_est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word hashes (sign-sum of hash bits)."""
+    in_type = df.schema[id_col].dataType.simpleString()
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            texts = batch.column(text_col).to_pandas()
+            ids = batch.column(id_col)
+            wh, starts = _word_hashes(texts)
+            n_docs = len(texts)
+            ends = np.r_[starts[1:].astype(np.int64), wh.size]
+            sh = np.zeros(n_docs, dtype=np.uint64)
+            if wh.size:
+                # bit-count matrix per doc: for each of 64 bits, segment-sum
+                doc_ids = np.repeat(np.arange(n_docs), (ends - starts.astype(np.int64)))
+                votes = np.zeros((n_docs, 64), dtype=np.int64)
+                for bit in range(64):
+                    bits = ((wh >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+                    votes[:, bit] = np.bincount(doc_ids, weights=bits * 2 - 1, minlength=n_docs)
+                bitmat = (votes > 0).astype(np.uint64)
+                sh = (bitmat << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sh.view(np.int64))], names=[id_col, "simhash"]
+            )
+
+    return df.select(id_col, text_col).mapInArrow(fn, f"{id_col} {in_type}, simhash bigint")
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: 4x16-bit bands (pigeonhole: any pair within
+    Hamming distance 3 shares at least one exact band) → verify popcount."""
+    sh = simhash(df, text_col, id_col).cache()
+    bands = [
+        F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"_s{b}")
+        for b in range(4)
+    ]
+    banded = sh.select(id_col, "simhash", *bands)
+    stacked = banded.select(
+        id_col, "simhash",
+        F.explode(F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"_s{b}").alias("v"))
+                            for b in range(4)])).alias("bv"),
+    ).select(id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    a = stacked.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "band", "v")
+    b = stacked.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "band", "v")
+    pairs = (
+        a.join(b, ["band", "v"]).filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb").distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return pairs.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("a", "b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for verification / small candidate sets)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
+    """Exact shingle-set Jaccard for given (a, b) pairs — the verifier behind
+    the MinHash estimate. Uses Spark array ops (JVM-side)."""
+    grams = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(F.split(F.col(text_col), r"\s+")) - shingle_n, F.lit(0)),
+                ),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.split(F.col(text_col), r"\s+"), i + j + 1) for j in range(shingle_n)]
+                ),
+            )
+        ).alias("grams"),
+    )
+    ga = grams.select(F.col(id_col).alias("a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col(id_col).alias("b"), F.col("grams").alias("gb"))
+    joined = pairs.join(ga, "a").join(gb, "b")
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    return joined.withColumn("jaccard", inter / union).select("a", "b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# language ID, quality scoring, token counting, fingerprint
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "la", "los", "las", "es", "una"],
+}
+
+
+def langid_heuristic(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language scorer (pure Spark SQL: one pass, no UDF). Adds
+    ``lang_pred`` and per-language scores; docs with no markers get 'und'."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    out = df
+    score_cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.array_intersect(F.array_distinct(words), arr))
+        out = out.withColumn(f"score_{lang}", score)
+        score_cols.append(f"score_{lang}")
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in _LANG_MARKERS:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return out.withColumn("lang_pred", pred)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio / mean-word-length features +
+    a composite quality score — all built-in SQL functions (JVM-side)."""
+    text = F.col(text_col)
+    words = F.split(text, r"\s+")
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    mean_wlen = (n_chars - (n_words - 1)) / n_words
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("punct_ratio", n_punct / F.greatest(n_chars, F.lit(1)))
+        .withColumn("stop_ratio", n_stop / F.greatest(n_words, F.lit(1)))
+        .withColumn("mean_word_len", mean_wlen)
+        .withColumn(
+            "quality_score",
+            F.when(n_words < 5, 0.0).otherwise(
+                F.least(F.lit(1.0), n_words / F.lit(100.0)) * (1.0 - (n_punct / F.greatest(n_chars, F.lit(1))))
+            ),
+        )
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate (split on whitespace AND
+    punctuation boundaries; ~chars/4 fallback floor)."""
+    ws = F.size(F.split(F.col(text_col), r"\s+"))
+    bpe_ish = F.size(F.split(F.col(text_col), r"\s+|(?<=[a-z])(?=[A-Z])|(?=[^\w\s])"))
+    return df.withColumn("n_tokens_ws", ws).withColumn("n_tokens_bpe_ish", bpe_ish)
+
+
+def doc_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rolling polynomial (Rabin-Karp-style) fingerprint over utf-8 bytes —
+    vectorized per Arrow batch via Horner's rule on a byte matrix."""
+    in_type = df.schema[id_col].dataType.simpleString()
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        B = np.uint64(1099511628211)
+        for batch in batches:
+            texts = batch.column(text_col).to_pandas().fillna("")
+            out = np.zeros(len(texts), dtype=np.uint64)
+            enc = [t.encode("utf-8") for t in texts]
+            maxlen = max((len(e) for e in enc), default=0)
+            if maxlen:
+                mat = np.zeros((len(enc), maxlen), dtype=np.uint64)
+                for i, e in enumerate(enc):
+                    mat[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
+                with np.errstate(over="ignore"):
+                    for j in range(maxlen):  # Horner over columns (vector per step)
+                        out = out * B + mat[:, j]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col), pa.array(out.view(np.int64))],
+                names=[id_col, "fingerprint"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(fn, f"{id_col} {in_type}, fingerprint bigint")
