@@ -1,38 +1,725 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship sketch pipeline on sf0.001.
+``queries()`` — one entry per operator (SURVEY.md §2.C + training-data ops);
+exact-side queries have matching ``oracle_sql()`` DuckDB strings (identical
+aliases, decimal-exact aggregation so value hashes match bit-for-bit);
+sketch-side queries are registered without oracles (rows-only check) because
+their outputs are estimates no ANSI-SQL engine reproduces.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
 
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, scale: int = 4):
+    """Decimal-exact aggregation input: float64 -> DECIMAL(18,4) so SUM/AVG
+    are associative and engine-independent; results cast back to DOUBLE."""
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the full mergeable-sketch family over a deterministic
+    tokenized corpus (BASELINE.json:15 shape), probe the Bloom filter, and
+    report one row per sketch with its estimate vs the exact value."""
+    from sketchlib import agg, datagen, fpr, hll, kll, tdigest, cms as cmsmod
+    from sketchlib.config import BloomConfig, CMSConfig, HLLConfig, KLLConfig, TDigestConfig
+    from sketchlib import probe as probemod
 
+    corpus = datagen.corpus_df(spark, 2_000, partitions=4).cache()
+    specs = [
+        agg.SketchSpec("bloom", BloomConfig(m_bits=1 << 21, k=8, word_bits=64,
+                                            words_per_block=8, sectors=8), "tokens"),
+        agg.SketchSpec("hll", HLLConfig(p=13), "tokens"),
+        agg.SketchSpec("cms", CMSConfig(eps=0.001, delta=0.01), "tokens"),
+        agg.SketchSpec("kll", KLLConfig(k=200), "n_tok"),
+        agg.SketchSpec("tdigest", TDigestConfig(compression=100), "n_tok"),
+    ]
+    blobs = agg.collect_blobs(agg.build_sketches(corpus, specs))
+
+    exact_distinct = (
+        corpus.select(F.explode("tokens").alias("t")).agg(F.countDistinct("t").alias("d"))
+        .collect()[0]["d"]
+    )
+    exact_median = corpus.agg(F.expr("percentile(n_tok, 0.5)").alias("m")).collect()[0]["m"]
+
+    # Bloom probe: members must all hit; absent ids measure empirical FPR
+    toks = corpus.select(F.explode("tokens").alias("t")).distinct()
+    members_missing = (
+        probemod.with_bloom_membership(toks, blobs[("bloom", "")], "t")
+        .filter(~F.col("member")).count()
+    )
+    absent = spark.range(100_000).select((F.col("id") + datagen.VOCAB).cast("int").alias("t"))
+    fp = probemod.with_bloom_membership(absent, blobs[("bloom", "")], "t").filter("member").count()
+    from sketchlib import blob as blobmod
+    _, bloom_cfg, _ = blobmod.unpack(blobs[("bloom", "")])
+
+    rows = [
+        Row(sketch="bloom", estimate=float(fp) / 100_000.0,
+            reference=float(fpr.fpr(bloom_cfg, exact_distinct)),
+            detail=f"false_negatives={members_missing}"),
+        Row(sketch="hll", estimate=float(hll.estimate_blob(blobs[("hll", "")])),
+            reference=float(exact_distinct), detail="distinct tokens"),
+        Row(sketch="cms_total", estimate=float(cmsmod.total_blob(blobs[("cms", "")])),
+            reference=float(corpus.agg(F.sum("n_tok")).collect()[0][0]), detail="total tokens"),
+        Row(sketch="kll_median", estimate=float(kll.quantiles_blob(blobs[("kll", "")], [0.5])[0]),
+            reference=float(exact_median), detail="median n_tok"),
+        Row(sketch="tdigest_median",
+            estimate=float(tdigest.quantiles_blob(blobs[("tdigest", "")], [0.5])[0]),
+            reference=float(exact_median), detail="median n_tok"),
+    ]
+    corpus.unpersist()
+    return spark.createDataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# exact-side queries (DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_top_parts_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "l_partkey")
+        .limit(10)
+    )
+
+
+def q03_orders_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(_dec("o_totalprice")).cast("double").alias("total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q04_customer_nation_region(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.sum(_dec("c_acctbal")).cast("double").alias("acctbal_sum"))
+        .orderBy("r_name", "c_mktsegment")
+    )
+
+
+def q05_events_type_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(_dec("value")).cast("double").alias("value_sum"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q06_first_event_per_user(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    first = e.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return first.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_first")).orderBy("event_type")
+
+
+def q07_docs_lang_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("chars_sum"),
+             F.min("n_chars").alias("chars_min"),
+             F.max("n_chars").alias("chars_max"))
+        .orderBy("lang")
+    )
+
+
+def q08_docs_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    return (
+        d.groupBy("source")
+        .agg(F.sum(n_words).alias("words_sum"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+def q09_docs_exact_dedup(spark, sf_dir):
+    from sketchlib import textops
+
+    d = _t(spark, sf_dir, "documents")
+    kept = textops.exact_dedup(d, "text", "doc_id")
+    return (
+        kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("source")
+    )
+
+
+def q10_chars_quantiles(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.expr("percentile(n_chars, 0.25)").alias("p25"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.75)").alias("p75"),
+    )
+
+
+def q11_ship_months(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.year("l_shipdate").alias("y"), F.month("l_shipdate").alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(_dec("l_quantity")).cast("double").alias("qty_sum"))
+        .orderBy("y", "m")
+    )
+
+
+def q12_part_brand_stats(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.max("p_size").alias("max_size"),
+             F.sum(_dec("p_retailprice")).cast("double").alias("price_sum"))
+        .orderBy("p_brand")
+    )
+
+
+def q13_supplier_nation(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             F.sum(_dec("s_acctbal")).cast("double").alias("acctbal_sum"))
+        .orderBy("n_name")
+    )
+
+
+def q14_events_daily(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    return e.groupBy(day).agg(F.count(F.lit(1)).alias("n")).orderBy("day")
+
+
+def q15_orders_by_segment(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(_dec("o_totalprice")).cast("double").alias("total"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q16_docs_quality(spark, sf_dir):
+    """Integer-sum formulation of the quality features so the single final
+    division is the only float op (engine-independent)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    feats = d.select("lang", n_words.alias("nw"), n_stop.alias("ns"))
+    return (
+        feats.groupBy("lang")
+        .agg(F.sum("nw").alias("words_sum"), F.sum("ns").alias("stop_sum"))
+        .withColumn("stop_ratio", F.col("stop_sum") / F.col("words_sum"))
+        .orderBy("lang")
+    )
+
+
+def q17_semijoin_large_parts(spark, sf_dir):
+    """Bloom-accelerated semi-join (the reference's raison d'être, SIGMOD19
+    §1): lineitem rows whose part has p_size > 40 — exact because surviving
+    rows are verified by the actual semi-join; the filter only prunes."""
+    from sketchlib import bloom, fpr as fprmod, probe as probemod
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    keys = np.array([r["p_partkey"] for r in p.select("p_partkey").collect()], dtype=np.int64)
+    if keys.size:
+        cfg = fprmod.suggest_config(keys.size, 0.01, block_bits=512, sectors=8)
+        blob = bloom.build(keys.astype(np.uint32), cfg)
+        pruned = probemod.with_bloom_membership(li, blob, "l_partkey", "_m").filter("_m").drop("_m")
+    else:
+        pruned = li.limit(0)
+    joined = pruned.join(p.select("p_partkey"), pruned.l_partkey == F.col("p_partkey"), "left_semi")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("l_quantity")).cast("double").alias("qty_sum"),
+    )
+
+
+def q18_embeddings_label_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.size("embedding")).alias("dims_sum"))
+        .orderBy("label")
+    )
+
+
+def q19_rollup_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+def q20_events_value_histogram(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 10.0).alias("bucket")
+    return e.groupBy(bucket).agg(F.count(F.lit(1)).alias("n")).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# sketch-side queries (estimates — registered without oracle: rows-only check)
+# ---------------------------------------------------------------------------
+
+def sk_bloom_fpr_grid(spark, sf_dir):
+    """Empirical vs analytic FPR at matched m/n and k across the reference's
+    blocked/sectorized geometry grid — the BASELINE.json:2 match criterion."""
+    from sketchlib import bloom, fpr as fprmod
+    from sketchlib.config import BloomConfig
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = np.array(
+        [r["l_partkey"] for r in li.select("l_partkey").distinct().collect()], dtype=np.int64
+    )
+    n = keys.size
+    rng = np.random.default_rng(7)
+    probes = rng.integers(2**22, 2**31 - 1, 400_000, dtype=np.int64).astype(np.int32)
+    probes = probes[~np.isin(probes, keys)]
+    rows = []
+    import math
+
+    for bits_per_key in (8, 16):
+        m = 1 << int(math.ceil(math.log2(max(n, 1) * bits_per_key)))
+        for geom in (
+            dict(word_bits=32, words_per_block=1, sectors=1, k=4),
+            dict(word_bits=64, words_per_block=8, sectors=1, k=4),
+            dict(word_bits=64, words_per_block=8, sectors=8, k=8),
+            dict(word_bits=64, words_per_block=8, sectors=8, zones=2, k=8),
+        ):
+            cfg = BloomConfig(m_bits=m, **geom)
+            blob = bloom.build(keys.astype(np.uint32), cfg)
+            fn = int((~bloom.contains_blob(keys.astype(np.uint32), blob)).sum())
+            emp = float(bloom.contains_blob(probes, blob).mean())
+            rows.append(Row(
+                geometry=f"B{cfg.block_bits}/s{cfg.sectors}/z{cfg.zones}/k{cfg.k}",
+                bits_per_key=bits_per_key, n_keys=int(n),
+                false_negatives=fn, empirical_fpr=emp,
+                analytic_fpr=float(fprmod.fpr(cfg, n)),
+            ))
+    return spark.createDataFrame(rows)
+
+
+def sk_hll_distinct_by_source(spark, sf_dir):
+    from sketchlib import agg, hll
+    from sketchlib.config import HLLConfig
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("source", F.split(F.col("text"), " ").alias("w"))
+    hashed = words.select(
+        "source", F.expr("transform(w, x -> xxhash64(x))").alias("tokens")
+    )
+    final = agg.build_sketches(
+        hashed, [agg.SketchSpec("hll", HLLConfig(p=12), "tokens")], group_by="source"
+    )
+    rows = [
+        Row(source=r["group"], distinct_words_est=float(hll.estimate_blob(bytes(r["blob"]))))
+        for r in final.collect()
+    ]
+    return spark.createDataFrame(sorted(rows, key=lambda r: r.source))
+
+
+def sk_cms_heavy_hitters(spark, sf_dir):
+    from sketchlib import agg, cms
+    from sketchlib.config import CMSConfig
+
+    li = _t(spark, sf_dir, "lineitem")
+    final = agg.build_sketches(
+        li, [agg.SketchSpec("cms", CMSConfig(eps=0.001, delta=0.01), "l_partkey")]
+    )
+    blob = agg.collect_blobs(final)[("cms", "")]
+    top = (
+        li.groupBy("l_partkey").count().orderBy(F.desc("count"), "l_partkey").limit(20).collect()
+    )
+    ids = np.array([r["l_partkey"] for r in top], dtype=np.int64)
+    true = [int(r["count"]) for r in top]
+    est = cms.query_blob(ids, blob)
+    rows = [
+        Row(l_partkey=int(i), true_count=t, cms_estimate=int(e))
+        for i, t, e in zip(ids.tolist(), true, est.tolist())
+    ]
+    return spark.createDataFrame(rows)
+
+
+def sk_kll_quantiles(spark, sf_dir):
+    from sketchlib import agg, kll
+    from sketchlib.config import KLLConfig
+
+    li = _t(spark, sf_dir, "lineitem")
+    blob = agg.collect_blobs(
+        agg.build_sketches(li, [agg.SketchSpec("kll", KLLConfig(k=200), "l_extendedprice")])
+    )[("kll", "")]
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = kll.quantiles_blob(blob, qs)
+    return spark.createDataFrame(
+        [Row(q=float(q), kll_estimate=float(e)) for q, e in zip(qs, est)]
+    )
+
+
+def sk_tdigest_quantiles(spark, sf_dir):
+    from sketchlib import agg, tdigest
+    from sketchlib.config import TDigestConfig
+
+    li = _t(spark, sf_dir, "lineitem")
+    blob = agg.collect_blobs(
+        agg.build_sketches(li, [agg.SketchSpec("td", TDigestConfig(compression=100), "l_extendedprice")])
+    )[("td", "")]
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = tdigest.quantiles_blob(blob, qs)
+    return spark.createDataFrame(
+        [Row(q=float(q), tdigest_estimate=float(e)) for q, e in zip(qs, est)]
+    )
+
+
+def sk_minhash_near_dups(spark, sf_dir):
+    from sketchlib import textops
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        textops.minhash_near_duplicates(d, num_perm=128, bands=32, threshold=0.5)
+        .orderBy("a", "b")
+    )
+
+
+def sk_simhash_near_dups(spark, sf_dir):
+    from sketchlib import textops
+
+    d = _t(spark, sf_dir, "documents")
+    return textops.simhash_near_duplicates(d, max_hamming=3).orderBy("a", "b")
+
+
+def sk_ngram_jaccard_verify(spark, sf_dir):
+    """MinHash candidates verified with exact n-gram Jaccard."""
+    from sketchlib import textops
+
+    d = _t(spark, sf_dir, "documents")
+    sigs_pairs = textops.minhash_near_duplicates(d, num_perm=128, bands=32, threshold=0.3)
+    return textops.ngram_jaccard_pairs(d, sigs_pairs.select("a", "b"), shingle_n=3).orderBy("a", "b")
+
+
+def sk_langid(spark, sf_dir):
+    from sketchlib import textops
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        textops.langid_heuristic(d)
+        .groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def sk_doc_fingerprints(spark, sf_dir):
+    from sketchlib import textops
+
+    d = _t(spark, sf_dir, "documents")
+    fp = textops.doc_fingerprints(d)
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_distinct_fp"),
+    )
+
+
+def sk_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 (Arrow matmul path) around vector 0."""
+    from sketchlib import simsearch
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.orderBy("vec_id").first()["embedding"]
+    return simsearch.cosine_topk_arrow(e, list(q), k=10).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def sk_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (the 100-TB path) around vector 0."""
+    from sketchlib import simsearch
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.orderBy("vec_id").first()["embedding"]
+    return simsearch.ann_topk_lsh(e, list(q), dim=len(q), k=10, hamming=2).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def sk_corpus_pipeline(spark, sf_dir):
+    """The north-rule pipeline on the synthetic tokenized corpus: all five
+    sketches, grouped by source, with exact references."""
+    import math
+    from sketchlib import agg, datagen, hll
+    from sketchlib.config import HLLConfig
+
+    corpus = datagen.corpus_df(spark, 2_000, partitions=4).cache()
+    final = agg.build_sketches(
+        corpus, [agg.SketchSpec("hll", HLLConfig(p=13), "tokens")], group_by="source"
+    )
+    exact = {
+        r["source"]: r["d"]
+        for r in corpus.select("source", F.explode("tokens").alias("t"))
+        .groupBy("source").agg(F.countDistinct("t").alias("d")).collect()
+    }
+    rows = []
+    for r in final.collect():
+        est = hll.estimate_blob(bytes(r["blob"]))
+        ex = exact[r["group"]]
+        rows.append(Row(
+            source=r["group"], exact_distinct=int(ex), hll_estimate=float(est),
+            rel_err=float(abs(est - ex) / ex), bound_4sigma=float(4 * 1.04 / math.sqrt(2**13)),
+        ))
+    corpus.unpersist()
+    return spark.createDataFrame(sorted(rows, key=lambda r: r.source))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # exact-side (DuckDB oracle)
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_top_parts_revenue": q02_top_parts_revenue,
+        "q03_orders_priority": q03_orders_priority,
+        "q04_customer_nation_region": q04_customer_nation_region,
+        "q05_events_type_stats": q05_events_type_stats,
+        "q06_first_event_per_user": q06_first_event_per_user,
+        "q07_docs_lang_stats": q07_docs_lang_stats,
+        "q08_docs_token_counts": q08_docs_token_counts,
+        "q09_docs_exact_dedup": q09_docs_exact_dedup,
+        "q10_chars_quantiles": q10_chars_quantiles,
+        "q11_ship_months": q11_ship_months,
+        "q12_part_brand_stats": q12_part_brand_stats,
+        "q13_supplier_nation": q13_supplier_nation,
+        "q14_events_daily": q14_events_daily,
+        "q15_orders_by_segment": q15_orders_by_segment,
+        "q16_docs_quality": q16_docs_quality,
+        "q17_semijoin_large_parts": q17_semijoin_large_parts,
+        "q18_embeddings_label_stats": q18_embeddings_label_stats,
+        "q19_rollup_orders": q19_rollup_orders,
+        "q20_events_value_histogram": q20_events_value_histogram,
+        # sketch-side (rows-only)
+        "sk_bloom_fpr_grid": sk_bloom_fpr_grid,
+        "sk_hll_distinct_by_source": sk_hll_distinct_by_source,
+        "sk_cms_heavy_hitters": sk_cms_heavy_hitters,
+        "sk_kll_quantiles": sk_kll_quantiles,
+        "sk_tdigest_quantiles": sk_tdigest_quantiles,
+        "sk_minhash_near_dups": sk_minhash_near_dups,
+        "sk_simhash_near_dups": sk_simhash_near_dups,
+        "sk_ngram_jaccard_verify": sk_ngram_jaccard_verify,
+        "sk_langid": sk_langid,
+        "sk_doc_fingerprints": sk_doc_fingerprints,
+        "sk_ann_cosine_topk": sk_ann_cosine_topk,
+        "sk_ann_lsh_topk": sk_ann_lsh_topk,
+        "sk_corpus_pipeline": sk_corpus_pipeline,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q02_top_parts_revenue": """
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            GROUP BY l_partkey
+            ORDER BY revenue DESC, l_partkey
+            LIMIT 10
+        """,
+        "q03_orders_priority": """
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q04_customer_nation_region": """
+            SELECT r_name, c_mktsegment, COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS acctbal_sum
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, c_mktsegment
+            ORDER BY r_name, c_mktsegment
+        """,
+        "q05_events_type_stats": """
+            SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q06_first_event_per_user": """
+            WITH ranked AS (
+              SELECT event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+              FROM events
+            )
+            SELECT event_type, COUNT(*) AS n_first FROM ranked WHERE rn = 1
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "q07_docs_lang_stats": """
+            SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars_sum,
+                   MIN(n_chars) AS chars_min, MAX(n_chars) AS chars_max
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "q08_docs_token_counts": """
+            SELECT source, SUM(len(string_split(text, ' '))) AS words_sum,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "q09_docs_exact_dedup": """
+            WITH reps AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text)
+            SELECT source, COUNT(*) AS n_kept
+            FROM documents WHERE doc_id IN (SELECT doc_id FROM reps)
+            GROUP BY source ORDER BY source
+        """,
+        "q10_chars_quantiles": """
+            SELECT quantile_cont(n_chars, 0.25) AS p25,
+                   quantile_cont(n_chars, 0.5)  AS p50,
+                   quantile_cont(n_chars, 0.75) AS p75
+            FROM documents
+        """,
+        "q11_ship_months": """
+            SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS y,
+                   CAST(EXTRACT(month FROM l_shipdate) AS INT) AS m,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_sum
+            FROM lineitem GROUP BY y, m ORDER BY y, m
+        """,
+        "q12_part_brand_stats": """
+            SELECT p_brand, COUNT(*) AS n, MAX(p_size) AS max_size,
+                   CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+            FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+        "q13_supplier_nation": """
+            SELECT n_name, COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS acctbal_sum
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "q14_events_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+            FROM events GROUP BY day ORDER BY day
+        """,
+        "q15_orders_by_segment": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "q16_docs_quality": """
+            WITH feats AS (
+              SELECT lang,
+                     len(string_split(text, ' ')) AS nw,
+                     len(list_filter(string_split(text, ' '),
+                         w -> list_contains(['the','a','of','and','to','in','is'], w))) AS ns
+              FROM documents
+            )
+            SELECT lang, SUM(nw) AS words_sum, SUM(ns) AS stop_sum,
+                   CAST(SUM(ns) AS DOUBLE) / SUM(nw) AS stop_ratio
+            FROM feats GROUP BY lang ORDER BY lang
+        """,
+        "q17_semijoin_large_parts": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_sum
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+        """,
+        "q18_embeddings_label_stats": """
+            SELECT label, COUNT(*) AS n, SUM(len(embedding)) AS dims_sum
+            FROM embeddings GROUP BY label ORDER BY label
+        """,
+        "q19_rollup_orders": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COUNT(*) AS n
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY status, priority
+        """,
+        "q20_events_value_histogram": """
+            SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket, COUNT(*) AS n
+            FROM events GROUP BY bucket ORDER BY bucket
+        """,
+    }
