@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Scaling-protocol benchmark (BASELINE.md part 2): build the full sketch
+family over the deterministic bench corpus at a given parallelism and print
+one JSON line with tokens/sec. Run via::
+
+    spark-submit --py-files sketchlib.zip bench/bench_sketch.py \
+        --master local[8]  --n-docs 200000
+    spark-submit --py-files sketchlib.zip bench/bench_sketch.py \
+        --master local[32] --n-docs 200000
+
+The two-cluster-size criterion (north rule: N vs 4N executors, efficiency
+>= 0.8) is evidenced in-sandbox by the local[8] vs local[32] pair on
+identical input/seed/configs — see bench/run_scaling.py which automates the
+pair and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", default="local[32]")
+    ap.add_argument("--n-docs", type=int, default=200_000)
+    ap.add_argument("--cache-dir", default=None)
+    ap.add_argument("--partitions", type=int, default=128)
+    ap.add_argument("--m-bits", type=int, default=1 << 21)
+    args = ap.parse_args()
+
+    cores = int(args.master.split("[")[1].rstrip("]")) if "[" in args.master else 32
+    cache_dir = args.cache_dir or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache"
+    )
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName(f"sketch-scaling-{args.master}")
+        .config("spark.sql.shuffle.partitions", str(2 * cores))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from sketchlib import agg, datagen
+    from sketchlib.config import (
+        BloomConfig, CMSConfig, HLLConfig, KLLConfig, TDigestConfig,
+    )
+
+    corpus_path = datagen.corpus_parquet(
+        spark, args.n_docs, cache_dir, partitions=args.partitions
+    )
+    corpus = spark.read.parquet(corpus_path)
+    total_tokens = int(corpus.agg(F.sum("n_tok")).collect()[0][0])
+
+    specs = [
+        agg.SketchSpec("bloom", BloomConfig(m_bits=args.m_bits, k=8, word_bits=64,
+                                            words_per_block=8, sectors=8), "tokens"),
+        agg.SketchSpec("hll", HLLConfig(p=14), "tokens"),
+        agg.SketchSpec("cms", CMSConfig(eps=0.0005, delta=0.01), "tokens"),
+        agg.SketchSpec("kll", KLLConfig(k=200), "n_tok"),
+        agg.SketchSpec("tdigest", TDigestConfig(compression=100), "n_tok"),
+    ]
+
+    # warm-up (JVM + python workers + page cache), then measured run
+    agg.collect_blobs(agg.build_sketches(corpus, specs[:1]))
+    t0 = time.perf_counter()
+    blobs = agg.collect_blobs(agg.build_sketches(corpus, specs))
+    wall = time.perf_counter() - t0
+
+    print(json.dumps({
+        "master": args.master,
+        "cores": cores,
+        "n_docs": args.n_docs,
+        "total_tokens": total_tokens,
+        "wall_s": round(wall, 3),
+        "tokens_per_sec": round(total_tokens / wall, 0),
+        "sketches": sorted(k[0] for k in blobs),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

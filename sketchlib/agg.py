@@ -109,21 +109,11 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None, part_col: 
             key = (name, group, pid)
             st = state.get(key)
             if st is None:
-                if hasattr(module, "KLL"):
-                    obj = module.KLL(cfg)
-                elif hasattr(module, "TDigest"):
-                    obj = module.TDigest(cfg)
-                else:
-                    obj = module.empty(cfg)
-                st = state[key] = [module, cfg, obj, 0, 0]
+                st = state[key] = [module, cfg, module.new_builder(cfg), 0, 0]
             return st
 
         def _update(st, values):
-            module, cfg, obj = st[0], st[1], st[2]
-            if hasattr(obj, "update"):
-                obj.update(values.astype(np.float64, copy=False))
-            else:
-                module.insert(obj, values, cfg)
+            st[2].update(values)
             st[4] += int(values.size)
 
         for batch in batches:
@@ -159,10 +149,7 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None, part_col: 
         t_ms = (time.perf_counter() - t0) * 1000.0
         out = {"sketch": [], "group": [], "part": [], "blob": [], "rows": [], "items": [], "t_ms": []}
         for (name, group, pid), (module, cfg, obj, rows, items) in sorted(state.items()):
-            if hasattr(obj, "to_payload"):
-                payload = obj.to_payload()
-            else:
-                payload = obj.tobytes()
+            payload = obj.to_payload()
             sketch_kind = _CFG_TO_SKETCH[type(cfg)]
             out["sketch"].append(name)
             out["group"].append(group)

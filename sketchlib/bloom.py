@@ -103,6 +103,44 @@ def empty(cfg: BloomConfig) -> np.ndarray:
     return np.zeros(cfg.n_bytes, dtype=np.uint8)
 
 
+class BloomBuilder:
+    """Streaming build state: one boolean scratch array per partition build,
+    packed to the byte payload exactly once at the end — per-batch cost is
+    hash + idempotent fancy assignment only. (The naive per-batch
+    ``insert``+``packbits`` pays O(m) per batch, which dominates at
+    m = 2**27; this is the reference's 'thread-private filter' pattern, A18.)
+    """
+
+    __slots__ = ("cfg", "_bool", "_bytes")
+
+    def __init__(self, cfg: BloomConfig):
+        self.cfg = cfg
+        if cfg.m_bits <= (1 << 28):
+            self._bool = np.zeros(cfg.m_bits, dtype=bool)
+            self._bytes = None
+        else:  # huge filters: byte array + sorted reduceat per batch
+            self._bool = None
+            self._bytes = empty(cfg)
+
+    def update(self, tokens: np.ndarray) -> None:
+        keys = _as_keys(tokens)
+        if self._bool is not None:
+            for lo in range(0, keys.shape[0], _CHUNK):
+                idx = _bit_indices(keys[lo : lo + _CHUNK], self.cfg).ravel()
+                self._bool[idx] = True
+        else:
+            insert(self._bytes, keys, self.cfg)
+
+    def to_payload(self) -> bytes:
+        if self._bool is not None:
+            return np.packbits(self._bool, bitorder="little").tobytes()
+        return self._bytes.tobytes()
+
+
+def new_builder(cfg: BloomConfig) -> BloomBuilder:
+    return BloomBuilder(cfg)
+
+
 def insert(bits: np.ndarray, tokens: np.ndarray, cfg: BloomConfig) -> None:
     """Set bits for ``tokens`` in-place in the uint8 filter array ``bits``.
 

@@ -47,6 +47,24 @@ def query(counters: np.ndarray, values: np.ndarray, cfg: CMSConfig) -> np.ndarra
     return est
 
 
+class CMSBuilder:
+    __slots__ = ("cfg", "counters")
+
+    def __init__(self, cfg: CMSConfig):
+        self.cfg = cfg
+        self.counters = empty(cfg)
+
+    def update(self, values: np.ndarray) -> None:
+        insert(self.counters, values, self.cfg)
+
+    def to_payload(self) -> bytes:
+        return self.counters.tobytes()
+
+
+def new_builder(cfg: CMSConfig) -> CMSBuilder:
+    return CMSBuilder(cfg)
+
+
 def merge_payloads(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return a + b
 

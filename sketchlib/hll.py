@@ -51,13 +51,32 @@ def insert(regs: np.ndarray, values: np.ndarray, cfg: HLLConfig) -> None:
         w = h & low_mask
         # rank = leading zeros of w within low_bits, + 1 = low_bits - bit_length(w) + 1
         rank = (low_bits + 1 - bit_length64(w)).astype(np.uint8)
-        # per-register max via sort trick: maximum.at is slow; sort (idx, rank)
-        # and take the last (max) rank per unique idx.
-        order = np.lexsort((rank, idx))
-        si, sr = idx[order], rank[order]
+        # per-register max via sort trick: maximum.at is slow; sort the
+        # combined (idx << 6 | rank) key and take the last entry per idx.
+        combined = np.sort((idx.astype(np.uint64) << np.uint64(6)) | rank.astype(np.uint64))
+        si = (combined >> np.uint64(6)).astype(np.int64)
         last = np.flatnonzero(np.r_[si[1:] != si[:-1], True])
-        ui, ur = si[last], sr[last]
+        ui = si[last]
+        ur = (combined[last] & np.uint64(63)).astype(np.uint8)
         regs[ui] = np.maximum(regs[ui], ur)
+
+
+class HLLBuilder:
+    __slots__ = ("cfg", "regs")
+
+    def __init__(self, cfg: HLLConfig):
+        self.cfg = cfg
+        self.regs = empty(cfg)
+
+    def update(self, values: np.ndarray) -> None:
+        insert(self.regs, values, self.cfg)
+
+    def to_payload(self) -> bytes:
+        return self.regs.tobytes()
+
+
+def new_builder(cfg: HLLConfig) -> HLLBuilder:
+    return HLLBuilder(cfg)
 
 
 def merge_payloads(a: np.ndarray, b: np.ndarray) -> np.ndarray:

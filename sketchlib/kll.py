@@ -165,6 +165,10 @@ class KLL:
         return out
 
 
+def new_builder(cfg):
+    return KLL(cfg)
+
+
 def build_blob(values: np.ndarray, cfg: KLLConfig) -> bytes:
     s = KLL(cfg)
     s.update(values)

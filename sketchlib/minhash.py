@@ -69,6 +69,24 @@ def signatures_segmented(
     return out
 
 
+class MinHashBuilder:
+    __slots__ = ("cfg", "sig")
+
+    def __init__(self, cfg: MinHashConfig):
+        self.cfg = cfg
+        self.sig = empty(cfg)
+
+    def update(self, values: np.ndarray) -> None:
+        insert(self.sig, values, self.cfg)
+
+    def to_payload(self) -> bytes:
+        return self.sig.tobytes()
+
+
+def new_builder(cfg: MinHashConfig) -> MinHashBuilder:
+    return MinHashBuilder(cfg)
+
+
 def merge_payloads(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.minimum(a, b)
 

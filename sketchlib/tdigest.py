@@ -104,6 +104,10 @@ class TDigest:
         return out
 
 
+def new_builder(cfg):
+    return TDigest(cfg)
+
+
 def build_blob(values: np.ndarray, cfg: TDigestConfig) -> bytes:
     t = TDigest(cfg)
     t.update(values)

@@ -341,14 +341,17 @@ def doc_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             texts = batch.column(text_col).to_pandas().fillna("")
             out = np.zeros(len(texts), dtype=np.uint64)
             enc = [t.encode("utf-8") for t in texts]
-            maxlen = max((len(e) for e in enc), default=0)
+            lens = np.array([len(e) for e in enc], dtype=np.int64)
+            maxlen = int(lens.max()) if len(enc) else 0
             if maxlen:
                 mat = np.zeros((len(enc), maxlen), dtype=np.uint64)
                 for i, e in enumerate(enc):
                     mat[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
                 with np.errstate(over="ignore"):
                     for j in range(maxlen):  # Horner over columns (vector per step)
-                        out = out * B + mat[:, j]
+                        active = j < lens  # shorter docs stop early, so the
+                        # fingerprint is a pure function of the text alone
+                        out = np.where(active, out * B + mat[:, j], out)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(id_col), pa.array(out.view(np.int64))],
                 names=[id_col, "fingerprint"],

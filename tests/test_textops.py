@@ -1,0 +1,168 @@
+"""Training-data pipeline operators: dedup family, text analysis, similarity
+search, multimodal plumbing — correctness on constructed corpora with known
+ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from sketchlib import multimodal, simsearch, textops
+
+WORDS = np.array([f"w{i}" for i in range(200)])
+
+
+def _doc(rng, n=60):
+    return " ".join(rng.choice(WORDS, n))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """100 base docs + engineered near/exact duplicates."""
+    rng = np.random.default_rng(7)
+    rows = [Row(doc_id=i, text=_doc(rng)) for i in range(100)]
+    base = rows[0].text.split()
+    # exact dup of doc 0
+    rows.append(Row(doc_id=100, text=rows[0].text))
+    # near dup: one word changed
+    nd = list(base)
+    nd[5] = "CHANGED"
+    rows.append(Row(doc_id=101, text=" ".join(nd)))
+    # unrelated doc of same length
+    rows.append(Row(doc_id=102, text=_doc(rng)))
+    df = spark.createDataFrame(rows).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = textops.exact_dedup(docs, "text", "doc_id")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 100 not in ids
+    assert len(ids) == docs.count() - 1
+
+
+def test_minhash_finds_engineered_dups(docs):
+    pairs = textops.minhash_near_duplicates(
+        docs, num_perm=128, bands=32, threshold=0.5
+    ).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert (0, 100) in found  # exact dup: jaccard est = 1
+    assert (0, 101) in found  # near dup (1 word / 60)
+    exact = [r for r in pairs if (r["a"], r["b"]) == (0, 100)]
+    assert exact[0]["jaccard_est"] == 1.0
+    # unrelated docs must not pair at 0.5
+    assert (0, 102) not in found
+
+
+def test_simhash_finds_engineered_dups(docs):
+    pairs = textops.simhash_near_duplicates(docs, max_hamming=3).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert (0, 100) in found
+    hamming0 = [r["hamming"] for r in pairs if (r["a"], r["b"]) == (0, 100)]
+    assert hamming0 == [0]
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = spark.createDataFrame([Row(a=0, b=100), Row(a=0, b=102)])
+    got = {(r["a"], r["b"]): r["jaccard"] for r in
+           textops.ngram_jaccard_pairs(docs, pairs, shingle_n=3).collect()}
+    assert got[(0, 100)] == 1.0
+    assert got[(0, 102)] < 0.2
+
+
+def test_langid_marker_sentences(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="the cat and the dog of a house in the garden is big"),
+        Row(doc_id=2, text="der hund und die katze ist nicht das problem"),
+        Row(doc_id=3, text="le chat et la maison est grande les des"),
+        Row(doc_id=4, text="el perro la casa es una los las cosa"),
+        Row(doc_id=5, text="zzz qqq xxx"),
+    ])
+    got = {r["doc_id"]: r["lang_pred"] for r in textops.langid_heuristic(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_quality_and_token_counts(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today, yes."),
+        Row(doc_id=2, text="x"),
+    ])
+    q = {r["doc_id"]: r for r in textops.quality_features(df).collect()}
+    assert q[1]["n_words"] == 11
+    assert q[2]["quality_score"] == 0.0  # too short
+    assert 0 < q[1]["stop_ratio"] < 0.5
+    t = {r["doc_id"]: r for r in textops.token_counts(df).collect()}
+    assert t[1]["n_tokens_ws"] == 11
+    assert t[1]["n_tokens_bpe_ish"] >= 11  # punctuation split adds tokens
+
+
+def test_fingerprints_distinct_and_deterministic(docs):
+    fp1 = {r["doc_id"]: r["fingerprint"] for r in textops.doc_fingerprints(docs).collect()}
+    fp2 = {r["doc_id"]: r["fingerprint"] for r in textops.doc_fingerprints(docs).collect()}
+    assert fp1 == fp2
+    assert fp1[0] == fp1[100]  # identical text -> identical fingerprint
+    assert fp1[0] != fp1[101]
+
+
+# ---------- similarity search ---------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((400, 32)).astype(np.float32)
+    mat[7] = mat[0] * 0.9 + rng.standard_normal(32).astype(np.float32) * 0.01  # near-dup of 0
+    rows = [Row(vec_id=i, embedding=[float(x) for x in mat[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows).repartition(4).cache()
+    df.count()
+    yield df, mat
+    df.unpersist()
+
+
+def test_cosine_topk_sql_vs_arrow_vs_numpy(vectors):
+    df, mat = vectors
+    q = [float(x) for x in mat[0]]
+    sql_rows = simsearch.cosine_topk_sql(df, q, k=5).collect()
+    arrow_rows = simsearch.cosine_topk_arrow(df, q, k=5).collect()
+    assert [r["vec_id"] for r in sql_rows] == [r["vec_id"] for r in arrow_rows]
+    # numpy ground truth
+    qv = np.asarray(q)
+    scores = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    want = np.argsort(-scores, kind="stable")[:5].tolist()
+    assert [r["vec_id"] for r in sql_rows] == want
+    assert want[0] == 0 and want[1] == 7  # engineered near-dup ranks second
+    for r_sql, r_arr in zip(sql_rows, arrow_rows):
+        assert abs(r_sql["cosine"] - r_arr["cosine"]) < 1e-9
+
+
+def test_lsh_ann_finds_self_and_neardup(vectors):
+    df, mat = vectors
+    q = [float(x) for x in mat[0]]
+    got = simsearch.ann_topk_lsh(df, q, dim=32, k=5, n_bits=12, hamming=2).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids[0] == 0
+    assert 7 in ids  # near-identical vector shares the bucket neighborhood
+
+
+# ---------- multimodal plumbing ---------------------------------------------------
+
+def test_multimodal_metadata_and_features(spark):
+    media = multimodal.synth_media_df(spark, 50, partitions=3)
+    meta = {r["media_id"]: r for r in multimodal.extract_metadata(media).collect()}
+    assert len(meta) == 50
+    assert meta[0]["kind"] == multimodal.KIND_IMAGE
+    assert meta[3]["height"] == 16 + 3 % 16 and meta[3]["channels"] == 3
+    feats = {r["media_id"]: r for r in multimodal.image_features(media).collect()}
+    assert len(feats) == 50
+    f = feats[5]
+    assert 100 < f["mean_px"] < 160 and len(f["thumb"]) == 16
+    # deterministic across runs
+    feats2 = {r["media_id"]: r for r in multimodal.image_features(media).collect()}
+    assert feats == feats2
+
+
+def test_real_codec_absent_raises(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.CODEC.decode_image(b"\x89PNG\r\n\x1a\n garbage")
