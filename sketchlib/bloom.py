@@ -44,7 +44,67 @@ def _log2(x: int) -> int:
 
 
 def _bit_indices(keys: np.ndarray, cfg: BloomConfig) -> np.ndarray:
-    """Global bit positions, shape (k, n) uint64, for a chunk of keys."""
+    """Global bit positions, shape (k, n), for a chunk of keys.
+
+    Fast path: all arithmetic in uint32 when the filter is < 2**31 bits
+    (always, at sane configs — 256 MB filter) to halve memory traffic versus
+    uint64 temporaries; the wide path only exists for completeness."""
+    if cfg.m_bits <= (1 << 31):
+        return _bit_indices32(keys, cfg)
+    return _bit_indices64(keys, cfg)
+
+
+def _bit_indices32(keys: np.ndarray, cfg: BloomConfig) -> np.ndarray:
+    n = keys.shape[0]
+    B = cfg.block_bits
+    lb_blocks = _log2(cfg.n_blocks)
+    seed = cfg.hash_seed
+    k, s, z = cfg.k, cfg.sectors, cfg.zones
+    sector_bits = cfg.sector_bits
+    lb_sector = _log2(sector_bits)
+
+    h0 = mul_hash32(keys, 0, seed)
+    block_base = h0 >> np.uint32(32 - lb_blocks) if lb_blocks else np.zeros(n, np.uint32)
+    block_base = block_base * np.uint32(B)
+
+    out = np.empty((k, n), dtype=np.uint32)
+    if z == 1:
+        for i in range(k):
+            row = out[i]
+            np.multiply(keys.astype(np.uint32, copy=False),
+                        _mul_const(1 + i, seed), out=row)
+            np.right_shift(row, np.uint32(32 - lb_sector), out=row)
+            row += block_base
+            if i % s:
+                row += np.uint32((i % s) * sector_bits)
+        return out
+
+    zone_bits = B // z
+    spz, kpz = s // z, k // z
+    lb_z = _log2(z)
+    for g in range(z):
+        hz = mul_hash32(keys, 1 + k + g, seed)
+        zone_base = block_base + (hz >> np.uint32(32 - lb_z)) * np.uint32(zone_bits) \
+            if lb_z else block_base
+        for j in range(kpz):
+            i = g * kpz + j
+            row = out[i]
+            np.multiply(keys.astype(np.uint32, copy=False),
+                        _mul_const(1 + i, seed), out=row)
+            np.right_shift(row, np.uint32(32 - lb_sector), out=row)
+            row += zone_base
+            if j % spz:
+                row += np.uint32((j % spz) * sector_bits)
+    return out
+
+
+def _mul_const(idx: int, seed: int) -> np.uint32:
+    from sketchlib.hashing import MUL_CONSTANTS_32
+
+    return MUL_CONSTANTS_32[(idx + seed) % len(MUL_CONSTANTS_32)]
+
+
+def _bit_indices64(keys: np.ndarray, cfg: BloomConfig) -> np.ndarray:
     n = keys.shape[0]
     B = cfg.block_bits
     lb_blocks = _log2(cfg.n_blocks)

@@ -1,0 +1,98 @@
+"""Structured Streaming integration: windowed sketch aggregation.
+
+The sketches are streaming-ready by construction — every one is a commutative
+monoid, so per-micro-batch partials merge exactly, and late data is just
+another partial for an existing window (no rollback needed, unlike
+non-mergeable aggregates).
+
+``sketch_sink`` returns a ``foreachBatch`` function that builds per-partition
+partials for each (event-time window[, group]) in the micro-batch and appends
+them to a partials parquet — the same durable layout as ``sketchlib.job``
+checkpoints. ``read_windowed_sketches`` tree-merges that parquet into one
+blob per (sketch, window[, group]) at read time; estimates are computed with
+the usual blob functions.
+
+This is deliberately the Kappa shape (append monoid partials, merge on read):
+at 100 TB/day the partials table is tiny (P blobs per window), the stream
+never shuffles, and replays/backfills are idempotent appends. A
+``transformWithStateInPandas`` operator could keep merged state inside the
+stream instead; the monoid contract is what makes either correct.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sketchlib import agg
+from sketchlib.agg import SketchSpec
+
+
+WINDOW_COL = "_sk_window"
+
+
+def _with_window(df: DataFrame, ts_col: str, window: str) -> DataFrame:
+    w = F.window(F.col(ts_col), window)
+    return df.withColumn(
+        WINDOW_COL, F.date_format(w["start"], "yyyy-MM-dd HH:mm:ss")
+    )
+
+
+def sketch_sink(
+    specs: list[SketchSpec],
+    out_dir: str,
+    ts_col: str,
+    window: str = "10 minutes",
+    group_by: str | None = None,
+):
+    """``foreachBatch`` function: micro-batch -> windowed partials parquet.
+
+    The window label is folded into the partial's ``group`` column as
+    ``"<window start>|<group>"`` so the whole agg/merge machinery applies
+    unchanged; ``part`` is the micro-batch id (lineage: which batch
+    contributed which partial)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        windowed = _with_window(batch_df, ts_col, window)
+        if group_by is not None:
+            windowed = windowed.withColumn(
+                WINDOW_COL, F.concat_ws("|", F.col(WINDOW_COL), F.col(group_by))
+            )
+        partials = agg.build_partials(windowed, specs, group_by=WINDOW_COL)
+        # key lineage by micro-batch: replays overwrite their own partition
+        (partials.withColumn("part", F.lit(batch_id).cast("int"))
+         .write.mode("append").parquet(os.path.join(out_dir, "partials")))
+
+    return sink
+
+
+def read_windowed_sketches(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge the streamed partials into one row per (sketch, window[, group]).
+    The ``group`` column carries the window label written by the sink."""
+    partials = spark.read.parquet(os.path.join(out_dir, "partials"))
+    return agg.merge_partials(partials, fanout=64, levels=2)
+
+
+def run_stream_to_sketches(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    specs: list[SketchSpec],
+    out_dir: str,
+    ts_col: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    group_by: str | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Wire a streaming DataFrame to the sketch sink (availableNow-friendly).
+    Watermarking bounds state the engine keeps for the windowing column; the
+    monoid sink itself accepts arbitrarily late partials."""
+    q = (
+        stream_df.withWatermark(ts_col, watermark)
+        .writeStream.foreachBatch(sketch_sink(specs, out_dir, ts_col, window, group_by))
+        .option("checkpointLocation", checkpoint_dir or os.path.join(out_dir, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q
