@@ -99,6 +99,7 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None, part_col: 
 
         part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
         t0 = time.perf_counter()
+        _dedup_off: dict[str, bool] = {}
         # state[(spec_name, group, pid)] -> (module, cfg, state_obj, rows, items)
         state: dict[tuple[str, str, int], list] = {}
         specs_rt = [
@@ -137,14 +138,40 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None, part_col: 
                     gmask = gcol == g
                     for p in np.unique(pcol[gmask]):
                         segments.append((str(g), int(p), np.flatnonzero(gmask & (pcol == p))))
-            for name, module, cfg, col in specs_rt:
+            # one flatten per column, one dedup per (column, segment) shared by
+            # every spec that is idempotent/weighted in the value — on Zipf
+            # token streams this collapses per-token work to per-distinct work
+            by_col: dict[str, list] = {}
+            for spec in specs_rt:
+                by_col.setdefault(spec[3], []).append(spec)
+            for col, col_specs in by_col.items():
                 arr = batch.column(col)
                 for gval, pid, rows_idx in segments:
-                    st = _get(name, module, cfg, gval, pid)
                     sub = arr if rows_idx is None else arr.take(pa.array(rows_idx))
                     values = arrowutil.sketch_values(sub)
-                    _update(st, values)
-                    st[3] += batch.num_rows if rows_idx is None else int(rows_idx.size)
+                    n_rows = batch.num_rows if rows_idx is None else int(rows_idx.size)
+                    uniq = counts = None
+                    want_unique = (
+                        values.dtype.kind in "iu"
+                        and not _dedup_off.get(col, False)
+                        and any(
+                            getattr(_get(nm, m, c, gval, pid)[2], "supports_unique", False)
+                            for nm, m, c, _ in col_specs
+                        )
+                    )
+                    if want_unique:
+                        uniq, counts = np.unique(values, return_counts=True)
+                        if values.size and uniq.size > 0.5 * values.size:
+                            _dedup_off[col] = True  # low duplication: not worth the sort
+                    for name, module, cfg, _ in col_specs:
+                        st = _get(name, module, cfg, gval, pid)
+                        builder = st[2]
+                        if uniq is not None and getattr(builder, "supports_unique", False):
+                            builder.update_unique(uniq, counts)
+                            st[4] += int(values.size)
+                        else:
+                            _update(st, values)
+                        st[3] += n_rows
 
         t_ms = (time.perf_counter() - t0) * 1000.0
         out = {"sketch": [], "group": [], "part": [], "blob": [], "rows": [], "items": [], "t_ms": []}

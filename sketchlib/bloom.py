@@ -182,6 +182,8 @@ class BloomBuilder:
             self._bool = None
             self._bytes = empty(cfg)
 
+    supports_unique = True  # idempotent: duplicates contribute nothing
+
     def update(self, tokens: np.ndarray) -> None:
         keys = _as_keys(tokens)
         if self._bool is not None:
@@ -190,6 +192,9 @@ class BloomBuilder:
                 self._bool[idx] = True
         else:
             insert(self._bytes, keys, self.cfg)
+
+    def update_unique(self, uniq: np.ndarray, counts: np.ndarray) -> None:
+        self.update(uniq)
 
     def to_payload(self) -> bytes:
         if self._bool is not None:

@@ -39,6 +39,20 @@ def insert(counters: np.ndarray, values: np.ndarray, cfg: CMSConfig) -> None:
             counters[r] += np.bincount(_cols(chunk, r, cfg), minlength=w)
 
 
+def insert_weighted(
+    counters: np.ndarray, uniq: np.ndarray, counts: np.ndarray, cfg: CMSConfig
+) -> None:
+    """Add ``counts[i]`` occurrences of ``uniq[i]`` — the pre-aggregated path
+    (exact: bincount weight sums of int64 counts stay < 2**53)."""
+    w = cfg.width
+    wts = counts.astype(np.float64, copy=False)
+    for lo in range(0, uniq.shape[0], _CHUNK):
+        chunk = uniq[lo : lo + _CHUNK]
+        cw = wts[lo : lo + _CHUNK]
+        for r in range(cfg.depth):
+            counters[r] += np.bincount(_cols(chunk, r, cfg), weights=cw, minlength=w).astype(np.int64)
+
+
 def query(counters: np.ndarray, values: np.ndarray, cfg: CMSConfig) -> np.ndarray:
     """Point-query estimates (int64) for a batch of values: min over d rows."""
     est = counters[0][_cols(values, 0, cfg)]
@@ -49,6 +63,7 @@ def query(counters: np.ndarray, values: np.ndarray, cfg: CMSConfig) -> np.ndarra
 
 class CMSBuilder:
     __slots__ = ("cfg", "counters")
+    supports_unique = True  # via weighted updates
 
     def __init__(self, cfg: CMSConfig):
         self.cfg = cfg
@@ -56,6 +71,9 @@ class CMSBuilder:
 
     def update(self, values: np.ndarray) -> None:
         insert(self.counters, values, self.cfg)
+
+    def update_unique(self, uniq: np.ndarray, counts: np.ndarray) -> None:
+        insert_weighted(self.counters, uniq, counts, self.cfg)
 
     def to_payload(self) -> bytes:
         return self.counters.tobytes()

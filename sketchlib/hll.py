@@ -63,6 +63,7 @@ def insert(regs: np.ndarray, values: np.ndarray, cfg: HLLConfig) -> None:
 
 class HLLBuilder:
     __slots__ = ("cfg", "regs")
+    supports_unique = True  # idempotent in the value
 
     def __init__(self, cfg: HLLConfig):
         self.cfg = cfg
@@ -70,6 +71,9 @@ class HLLBuilder:
 
     def update(self, values: np.ndarray) -> None:
         insert(self.regs, values, self.cfg)
+
+    def update_unique(self, uniq: np.ndarray, counts: np.ndarray) -> None:
+        insert(self.regs, uniq, self.cfg)
 
     def to_payload(self) -> bytes:
         return self.regs.tobytes()

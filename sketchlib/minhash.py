@@ -71,6 +71,7 @@ def signatures_segmented(
 
 class MinHashBuilder:
     __slots__ = ("cfg", "sig")
+    supports_unique = True  # set semantics
 
     def __init__(self, cfg: MinHashConfig):
         self.cfg = cfg
@@ -78,6 +79,9 @@ class MinHashBuilder:
 
     def update(self, values: np.ndarray) -> None:
         insert(self.sig, values, self.cfg)
+
+    def update_unique(self, uniq: np.ndarray, counts: np.ndarray) -> None:
+        insert(self.sig, uniq, self.cfg)
 
     def to_payload(self) -> bytes:
         return self.sig.tobytes()

@@ -1,0 +1,73 @@
+"""Cuckoo filter (reference A13): insert/contains/delete round-trips, FPR,
+blob round-trip, merge semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sketchlib.config import SketchConfigError
+from sketchlib.cuckoo import CuckooConfig, CuckooFilter, analytic_fpr
+
+RNG = np.random.default_rng(42)
+
+
+def test_insert_contains_no_false_negatives():
+    cfg = CuckooConfig(n_buckets=1 << 15, bucket_size=4, bits_per_tag=12)
+    keys = np.unique(RNG.integers(0, 2**31, 100_000, dtype=np.int64))
+    f = CuckooFilter(cfg)
+    f.insert(keys)  # ~76% load
+    assert f.contains(keys).all()
+
+
+def test_fpr_matches_analytic():
+    cfg = CuckooConfig(n_buckets=1 << 15, bucket_size=4, bits_per_tag=12)
+    keys = np.unique(RNG.integers(0, 2**30, 110_000, dtype=np.int64))
+    f = CuckooFilter(cfg)
+    f.insert(keys)
+    probes = RNG.integers(2**30, 2**31, 400_000, dtype=np.int64)
+    emp = float(f.contains(probes).mean())
+    bound = analytic_fpr(cfg)
+    assert emp <= bound * 1.3
+    assert emp >= bound * 0.05  # sanity: not trivially zero
+
+
+def test_delete_roundtrip():
+    cfg = CuckooConfig(n_buckets=1 << 12, bucket_size=4, bits_per_tag=16)
+    keys = np.arange(5_000, dtype=np.int64)
+    f = CuckooFilter(cfg)
+    f.insert(keys)
+    victims = keys[::10]
+    assert f.delete(victims).all()
+    # deleted keys (mostly) gone; kept keys all present — the cuckoo contract
+    assert f.contains(np.setdiff1d(keys, victims)).all()
+    resurrect = f.contains(victims).mean()
+    assert resurrect < 0.05  # only tag collisions remain
+
+
+def test_overfill_raises():
+    cfg = CuckooConfig(n_buckets=1 << 6, bucket_size=4, bits_per_tag=12)
+    with pytest.raises(SketchConfigError):
+        CuckooFilter(cfg).insert(np.arange(400, dtype=np.int64))  # >100% load
+
+
+def test_blob_roundtrip_and_merge():
+    cfg = CuckooConfig(n_buckets=1 << 13, bucket_size=4, bits_per_tag=12)
+    a_keys = np.arange(0, 8_000, dtype=np.int64)
+    b_keys = np.arange(8_000, 16_000, dtype=np.int64)
+    fa, fb = CuckooFilter(cfg), CuckooFilter(cfg)
+    fa.insert(a_keys)
+    fb.insert(b_keys)
+    fa2 = CuckooFilter.from_blob(fa.to_blob())
+    assert np.array_equal(fa2.table, fa.table) and fa2.n == fa.n
+    merged = fa.merge(fb)
+    assert merged.contains(a_keys).all() and merged.contains(b_keys).all()
+
+
+def test_merge_capacity_exceeded_raises():
+    cfg = CuckooConfig(n_buckets=1 << 6, bucket_size=4, bits_per_tag=12)
+    fa, fb = CuckooFilter(cfg), CuckooFilter(cfg)
+    fa.insert(np.arange(0, 150, dtype=np.int64))
+    fb.insert(np.arange(1000, 1150, dtype=np.int64))
+    with pytest.raises(SketchConfigError):
+        fa.merge(fb)  # 300 tags into capacity 256
