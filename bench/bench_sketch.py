@@ -25,9 +25,9 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--master", default="local[32]")
-    ap.add_argument("--n-docs", type=int, default=200_000)
+    ap.add_argument("--n-docs", type=int, default=400_000)
     ap.add_argument("--cache-dir", default=None)
-    ap.add_argument("--partitions", type=int, default=128)
+    ap.add_argument("--partitions", type=int, default=256)
     ap.add_argument("--m-bits", type=int, default=1 << 21)
     args = ap.parse_args()
 
@@ -44,6 +44,11 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(2 * cores))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # one task per corpus file: the cache is written as many small files,
+        # and the default 128 MB packing would leave ~1 task per core (bad
+        # wave packing). At scale this is the usual maxPartitionBytes tuning.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "4m")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

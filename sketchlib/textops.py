@@ -279,10 +279,11 @@ _LANG_MARKERS = {
 }
 
 
-def langid_heuristic(df: DataFrame, text_col: str = "text") -> DataFrame:
+def langid_heuristic(df: DataFrame, text_col: str = "text", split_pattern: str = r"\s+") -> DataFrame:
     """Marker-word language scorer (pure Spark SQL: one pass, no UDF). Adds
-    ``lang_pred`` and per-language scores; docs with no markers get 'und'."""
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    ``lang_pred`` and per-language scores; docs with no markers get 'und'.
+    Tie-break: first language in marker-table order."""
+    words = F.split(F.lower(F.col(text_col)), split_pattern)
     out = df
     score_cols = []
     for lang, markers in _LANG_MARKERS.items():
