@@ -330,6 +330,88 @@ def q20_events_value_histogram(spark, sf_dir):
     return e.groupBy(bucket).agg(F.count(F.lit(1)).alias("n")).orderBy("bucket")
 
 
+def q21_user_sessions(spark, sf_dir):
+    """Sessionization via LAG: a new session starts after a >30 min gap."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return marked.agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.count(F.lit(1)) / F.sum("new_session")).alias("events_per_session"),
+    )
+
+
+def q22_set_ops(spark, sf_dir):
+    """Set operators: users who did both the most and least common event type,
+    and those who did only the most common."""
+    e = _t(spark, sf_dir, "events")
+    types = [r["event_type"] for r in
+             e.groupBy("event_type").count().orderBy(F.desc("count"), "event_type").collect()]
+    hi, lo = types[0], types[-1]
+    u_hi = e.filter(F.col("event_type") == hi).select("user_id").distinct()
+    u_lo = e.filter(F.col("event_type") == lo).select("user_id").distinct()
+    both = u_hi.intersect(u_lo).count()
+    only_hi = u_hi.exceptAll(u_hi.intersect(u_lo)).count()
+    return spark.createDataFrame(
+        [Row(hi_type=hi, lo_type=lo, users_both=both, users_only_hi=only_hi)]
+    )
+
+
+def q23_cube_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+def q24_top3_events_per_type(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.col("event_id").asc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select("event_type", "rn", "event_id",
+                F.round(F.col("value"), 6).alias("value"))
+        .orderBy("event_type", "rn")
+    )
+
+
+def q25_langid_counts(spark, sf_dir):
+    """Language-ID heuristic under an exact oracle: the marker-word scorer is
+    pure SQL, so DuckDB reproduces it bit-for-bit (same tie-break order)."""
+    from sketchlib import textops
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        textops.langid_heuristic(d, split_pattern=" ")
+        .groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def q26_chars_quartiles_by_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("source", "quartile")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("n_chars").alias("max_chars"))
+        .orderBy("source", "quartile")
+    )
+
+
 # ---------------------------------------------------------------------------
 # sketch-side queries (estimates — registered without oracle: rows-only check)
 # ---------------------------------------------------------------------------
@@ -568,6 +650,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_embeddings_label_stats": q18_embeddings_label_stats,
         "q19_rollup_orders": q19_rollup_orders,
         "q20_events_value_histogram": q20_events_value_histogram,
+        "q21_user_sessions": q21_user_sessions,
+        "q22_set_ops": q22_set_ops,
+        "q23_cube_lineitem": q23_cube_lineitem,
+        "q24_top3_events_per_type": q24_top3_events_per_type,
+        "q25_langid_counts": q25_langid_counts,
+        "q26_chars_quartiles_by_source": q26_chars_quartiles_by_source,
         # sketch-side (rows-only)
         "sk_bloom_fpr_grid": sk_bloom_fpr_grid,
         "sk_hll_distinct_by_source": sk_hll_distinct_by_source,
@@ -721,5 +809,80 @@ def oracle_sql() -> dict[str, str]:
         "q20_events_value_histogram": """
             SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket, COUNT(*) AS n
             FROM events GROUP BY bucket ORDER BY bucket
+        """,
+        "q21_user_sessions": """
+            WITH marked AS (
+              SELECT CASE WHEN LAG(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            )
+            SELECT SUM(new_session) AS n_sessions, COUNT(*) AS n_events,
+                   CAST(COUNT(*) AS DOUBLE) / SUM(new_session) AS events_per_session
+            FROM marked
+        """,
+        "q22_set_ops": """
+            WITH counts AS (
+              SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+            ),
+            hi AS (SELECT event_type FROM counts ORDER BY cnt DESC, event_type ASC LIMIT 1),
+            lo AS (SELECT event_type FROM counts ORDER BY cnt ASC, event_type DESC LIMIT 1),
+            u_hi AS (SELECT DISTINCT user_id FROM events WHERE event_type = (SELECT event_type FROM hi)),
+            u_lo AS (SELECT DISTINCT user_id FROM events WHERE event_type = (SELECT event_type FROM lo)),
+            both_u AS (SELECT user_id FROM u_hi INTERSECT SELECT user_id FROM u_lo)
+            SELECT (SELECT event_type FROM hi) AS hi_type,
+                   (SELECT event_type FROM lo) AS lo_type,
+                   (SELECT COUNT(*) FROM both_u) AS users_both,
+                   (SELECT COUNT(*) FROM u_hi) - (SELECT COUNT(*) FROM both_u) AS users_only_hi
+        """,
+        "q23_cube_lineitem": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                   COALESCE(l_linestatus, 'ALL') AS ls,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY rf, ls
+        """,
+        "q24_top3_events_per_type": """
+            WITH ranked AS (
+              SELECT event_type, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id ASC) AS rn
+              FROM events
+            )
+            SELECT event_type, rn, event_id, ROUND(value, 6) AS value
+            FROM ranked WHERE rn <= 3 ORDER BY event_type, rn
+        """,
+        "q25_langid_counts": """
+            WITH scored AS (
+              SELECT len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                         ['the','and','of','to','a','in','is'])) AS s_en,
+                     len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                         ['der','die','und','das','ist','nicht'])) AS s_de,
+                     len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                         ['le','la','et','les','des','est'])) AS s_fr,
+                     len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                         ['el','la','los','las','es','una'])) AS s_es
+              FROM documents
+            ),
+            pred AS (
+              SELECT CASE
+                       WHEN GREATEST(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+                       WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+                       WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+                       WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+                       ELSE 'es' END AS lang_pred
+              FROM scored
+            )
+            SELECT lang_pred, COUNT(*) AS n FROM pred GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        "q26_chars_quartiles_by_source": """
+            WITH q AS (
+              SELECT source, n_chars,
+                     NTILE(4) OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS quartile
+              FROM documents
+            )
+            SELECT source, quartile, COUNT(*) AS n, MAX(n_chars) AS max_chars
+            FROM q GROUP BY source, quartile ORDER BY source, quartile
         """,
     }

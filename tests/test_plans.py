@@ -1,0 +1,70 @@
+"""Physical-plan checks: the things that must hold at 100 TB — column
+pruning reaching the parquet scan, filter pushdown, broadcast joins for
+small dims, no extra shuffles in the partial-build path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib import agg, datagen
+from sketchlib.config import HLLConfig
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plan_corpus"))
+    datagen.corpus_df(spark, 2_000, partitions=2).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_partial_build_prunes_columns(spark, corpus_path):
+    corpus = spark.read.parquet(corpus_path)
+    partials = agg.build_partials(corpus, [agg.SketchSpec("hll", HLLConfig(p=10), "tokens")])
+    plan = _plan(partials)
+    assert "ReadSchema" in plan
+    # only the tokens column must be read — doc_id/source pruned at the scan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "tokens" in read_schema
+    assert "doc_id" not in read_schema and "source" not in read_schema
+
+
+def test_filter_pushdown_reaches_scan(spark, corpus_path):
+    corpus = spark.read.parquet(corpus_path).filter(F.col("source") == "web")
+    partials = agg.build_partials(corpus, [agg.SketchSpec("hll", HLLConfig(p=10), "tokens")])
+    plan = _plan(partials)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "source" in pushed[0], pushed
+
+
+def test_no_shuffle_in_default_partial_build(spark, corpus_path):
+    corpus = spark.read.parquet(corpus_path)
+    partials = agg.build_partials(corpus, [agg.SketchSpec("hll", HLLConfig(p=10), "tokens")])
+    assert "Exchange" not in _plan(partials)
+
+
+def test_small_dim_join_broadcasts(spark):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.q04_customer_nation_region(spark, SF_DIR)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_probe_has_no_shuffle(spark, corpus_path):
+    import numpy as np
+    from sketchlib import bloom, fpr, probe
+
+    keys = np.arange(1000, dtype=np.int32)
+    blob = bloom.build(keys, fpr.suggest_config(1000, 0.01))
+    df = spark.read.parquet(corpus_path)
+    probed = probe.with_bloom_membership(df.select("n_tok"), blob, "n_tok")
+    assert "Exchange" not in _plan(probed)
