@@ -106,10 +106,30 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None, part_col: 
             (name, MODULES[sk], _Cfg.from_json(cj), col) for name, sk, cj, col in spec_list
         ]
 
+        mem_used = [0]
+
+        def _builder_mem(cfg) -> int:
+            # rough per-builder working set (SURVEY.md §7 hard part e):
+            # Bloom = bool scratch (m bits -> m bytes); HLL = 2^p; CMS = d*w*8
+            if isinstance(cfg, BloomConfig):
+                return cfg.m_bits if cfg.m_bits <= (1 << 28) else cfg.n_bytes
+            if isinstance(cfg, HLLConfig):
+                return cfg.m
+            if isinstance(cfg, CMSConfig):
+                return cfg.depth * cfg.width * 8
+            return 1 << 16  # KLL/tdigest/minhash: KBs
+
         def _get(name, module, cfg, group, pid):
             key = (name, group, pid)
             st = state.get(key)
             if st is None:
+                mem_used[0] += _builder_mem(cfg)
+                if mem_used[0] > (4 << 30):
+                    raise SketchConfigError(
+                        "per-partition sketch state would exceed 4 GiB "
+                        f"({len(state)} group-sketch builders so far) — cap the "
+                        "group count, shrink m_bits, or build groups in passes"
+                    )
                 st = state[key] = [module, cfg, module.new_builder(cfg), 0, 0]
             return st
 

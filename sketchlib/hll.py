@@ -124,3 +124,25 @@ def estimate_blob(blob: bytes) -> float:
 
 def standard_error(cfg: HLLConfig) -> float:
     return 1.04 / math.sqrt(cfg.m)
+
+
+def estimate_union(a: bytes, b: bytes) -> float:
+    """|A ∪ B| — exact HLL semantics (register max), same error as a single
+    sketch of the union."""
+    return estimate_blob(merge_blobs(a, b))
+
+
+def estimate_intersection(a: bytes, b: bytes) -> float:
+    """|A ∩ B| via inclusion-exclusion. Published caveat (SURVEY.md §2.B):
+    the variance scales with |A ∪ B|, not the intersection — relative error
+    explodes for small overlaps. Flagged, not bounded; use MinHash Jaccard
+    when a bounded estimate is needed."""
+    return max(0.0, estimate_blob(a) + estimate_blob(b) - estimate_union(a, b))
+
+
+def estimate_jaccard(a: bytes, b: bytes) -> float:
+    """Jaccard via inclusion-exclusion — same unbounded-variance caveat."""
+    u = estimate_union(a, b)
+    if u <= 0:
+        return 0.0
+    return max(0.0, min(1.0, estimate_intersection(a, b) / u))

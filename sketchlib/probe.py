@@ -23,7 +23,8 @@ from sketchlib import arrowutil, blob as blobmod, bloom, cms, kll, tdigest
 from sketchlib.config import SketchConfigError
 
 
-def _append_col_map(df: DataFrame, blob: bytes, col: str, out: str, kernel, out_type):
+def _append_col_map(df: DataFrame, blob: bytes, col: str, out: str, kernel, out_type,
+                    array_mode: str = "all"):
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(blob)
     in_schema = df.schema
@@ -35,11 +36,13 @@ def _append_col_map(df: DataFrame, blob: bytes, col: str, out: str, kernel, out_
             if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
                 flat, starts = arrowutil.list_to_flat(arr)
                 res_flat = kernel(flat, payload_blob)
-                # per-row ALL-semantics for array columns (every token present)
+                # per-row semantics for array columns: 'all' tokens present /
+                # 'any' token present (empty rows: all=True, any=False)
                 seg_len = np.diff(np.r_[starts, flat.shape[0]])
                 if res_flat.dtype == bool:
                     csum = np.r_[0, np.cumsum(res_flat.astype(np.int64))]
-                    res = csum[np.r_[starts, flat.shape[0]][1:]] - csum[starts] == seg_len
+                    hits = csum[np.r_[starts, flat.shape[0]][1:]] - csum[starts]
+                    res = hits == seg_len if array_mode == "all" else hits > 0
                 else:
                     raise SketchConfigError("array-column probe only supports boolean kernels")
             else:
@@ -52,13 +55,17 @@ def _append_col_map(df: DataFrame, blob: bytes, col: str, out: str, kernel, out_
     return df.mapInArrow(fn, f"{schema_str}, {out} {type_str}")
 
 
-def with_bloom_membership(df: DataFrame, blob: bytes, col: str, out: str = "member") -> DataFrame:
+def with_bloom_membership(df: DataFrame, blob: bytes, col: str, out: str = "member",
+                          array_mode: str = "all") -> DataFrame:
     """Boolean membership column. Guarantee: never false for inserted keys
-    (zero false negatives); true-rate on absent keys = the analytic FPR."""
+    (zero false negatives); true-rate on absent keys = the analytic FPR.
+    For array columns ``array_mode`` picks ALL-tokens vs ANY-token semantics."""
     name, _, _ = blobmod.unpack(blob)
     if name != "bloom":
         raise SketchConfigError("expected a bloom blob")
-    return _append_col_map(df, blob, col, out, bloom.contains_blob, pa.bool_())
+    if array_mode not in ("all", "any"):
+        raise SketchConfigError("array_mode must be 'all' or 'any'")
+    return _append_col_map(df, blob, col, out, bloom.contains_blob, pa.bool_(), array_mode)
 
 
 def with_cms_count(df: DataFrame, blob: bytes, col: str, out: str = "est_count") -> DataFrame:

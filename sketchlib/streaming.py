@@ -74,6 +74,86 @@ def read_windowed_sketches(spark: SparkSession, out_dir: str) -> DataFrame:
     return agg.merge_partials(partials, fanout=64, levels=2)
 
 
+def stateful_windowed_sketch(
+    stream_df: DataFrame,
+    spec: SketchSpec,
+    ts_col: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+):
+    """True stateful streaming: one sketch blob of state per event-time
+    window, merged across micro-batches inside the engine's state store
+    (``applyInPandasWithState``), emitted when the watermark passes the
+    window (EventTimeTimeout). Late data within the watermark merges into
+    the live state; the emitted blob is final.
+
+    Output schema: ``win_start timestamp, blob binary, rows bigint``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from sketchlib import blob as blobmod
+    from sketchlib.config import _Cfg
+
+    cfg_json = spec.cfg.to_json()
+    sketch_kind = spec.sketch
+    col = spec.col
+
+    def fn(key, pdf_iter, state: GroupState):
+        from sketchlib.agg import MODULES
+
+        cfg = _Cfg.from_json(cfg_json)
+        module = MODULES[sketch_kind]
+        if state.hasTimedOut:
+            blob_bytes, rows = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"win_start": [key[0]], "blob": [blob_bytes], "rows": [rows]}
+            )
+            return
+        import numpy as np
+
+        builder = module.new_builder(cfg)
+        rows = 0
+        for pdf in pdf_iter:
+            vals = pdf[col]
+            if len(vals) == 0:
+                continue
+            first = vals.iloc[0]
+            if hasattr(first, "__len__") and not isinstance(first, (str, bytes)):
+                flat = np.concatenate([np.asarray(v) for v in vals])
+            else:
+                flat = vals.to_numpy()
+            builder.update(flat)
+            rows += len(pdf)
+        new_blob = blobmod.pack(sketch_kind, cfg, builder.to_payload())
+        if state.exists:
+            old_blob, old_rows = state.get
+            new_blob = module.merge_blobs(bytes(old_blob), new_blob)
+            rows += old_rows
+        state.update((new_blob, rows))
+        # emit once the watermark passes the window end
+        state.setTimeoutTimestamp(int(key[1].timestamp() * 1000))
+
+    keyed = (
+        stream_df.withWatermark(ts_col, watermark)
+        .withColumn("_win", F.window(F.col(ts_col), window))
+        .withColumn("_ws", F.col("_win.start"))
+        .withColumn("_we", F.col("_win.end"))
+        .drop("_win")
+    )
+    return (
+        keyed.groupBy("_ws", "_we")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="win_start timestamp, blob binary, rows bigint",
+            stateStructType="blob binary, rows bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_stream_to_sketches(
     spark: SparkSession,
     stream_df: DataFrame,

@@ -1,0 +1,64 @@
+"""Stateful streaming (applyInPandasWithState): per-window sketch state
+merged across micro-batches, emitted on event-time timeout, equal to the
+batch-built sketch for the same window."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from sketchlib import agg, hll, streaming
+from sketchlib.config import HLLConfig
+
+
+def test_stateful_windowed_hll(spark, tmp_path_factory):
+    base = dt.datetime(2026, 2, 1, 0, 0, 0)
+    # three files in time order: the third advances the watermark far enough
+    # to close the first two hours' windows
+    in_dir = str(tmp_path_factory.mktemp("stateful_in"))
+    for i, hour in enumerate([0, 1, 9]):
+        rows = [
+            Row(ts=base + dt.timedelta(hours=hour, seconds=j % 3500), token=(j * 13 + hour) % 2000)
+            for j in range(4_000)
+        ]
+        spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+            f"{in_dir}/f{i}"
+        )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, token long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{in_dir}/f*")
+    )
+    spec = agg.SketchSpec("hll", HLLConfig(p=12), "token")
+    out = streaming.stateful_windowed_sketch(
+        stream, spec, ts_col="ts", window="60 minutes", watermark="10 minutes"
+    )
+    sink_dir = str(tmp_path_factory.mktemp("stateful_out"))
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{sink_dir}/data")
+        .option("checkpointLocation", f"{sink_dir}/chk")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["win_start"]: (bytes(r["blob"]), r["rows"])
+        for r in spark.read.parquet(f"{sink_dir}/data").collect()
+    }
+    # hours 0 and 1 must have closed (hour 9's watermark passed them)
+    assert base in got and base + dt.timedelta(hours=1) in got
+    batch = spark.read.parquet(f"{in_dir}/f*")
+    for ws, (blob, rows) in got.items():
+        sl = batch.filter(
+            (F.col("ts") >= ws) & (F.col("ts") < ws + dt.timedelta(hours=1))
+        )
+        assert rows == sl.count()
+        exact = sl.agg(F.countDistinct("token").alias("d")).collect()[0]["d"]
+        est = hll.estimate_blob(blob)
+        assert abs(est - exact) / exact < 0.1
