@@ -595,6 +595,17 @@ def sk_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def sk_approx_topk(spark, sf_dir):
+    """Approximate heavy hitters (local-top-c candidates + CMS scoring)."""
+    from sketchlib import topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = topk.approx_topk(li, "l_partkey", k=20)
+    return spark.createDataFrame(
+        [Row(l_partkey=v, est_count=c, rank=i + 1) for i, (v, c) in enumerate(pairs)]
+    )
+
+
 def sk_corpus_pipeline(spark, sf_dir):
     """The north-rule pipeline on the synthetic tokenized corpus: all five
     sketches, grouped by source, with exact references."""
@@ -669,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_doc_fingerprints": sk_doc_fingerprints,
         "sk_ann_cosine_topk": sk_ann_cosine_topk,
         "sk_ann_lsh_topk": sk_ann_lsh_topk,
+        "sk_approx_topk": sk_approx_topk,
         "sk_corpus_pipeline": sk_corpus_pipeline,
     }
 

@@ -34,7 +34,10 @@ def write_table(df: DataFrame, uri: str, mode: str = "overwrite") -> None:
 
 def iceberg_available(spark: SparkSession) -> bool:
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        # py4j resolves packages lazily; Class.forName forces a real lookup
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.source.SparkTable"
+        )
         return True
     except Exception:
         return False
