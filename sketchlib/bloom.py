@@ -104,6 +104,50 @@ def _mul_const(idx: int, seed: int) -> np.uint32:
     return MUL_CONSTANTS_32[(idx + seed) % len(MUL_CONSTANTS_32)]
 
 
+def _bit_rows32(keys: np.ndarray, cfg: BloomConfig):
+    """Yield the k per-hash bit-index rows one at a time (two reused
+    buffers — no (k, n) matrix). Bit-identical to ``_bit_indices32`` rows."""
+    n = keys.shape[0]
+    B = cfg.block_bits
+    lb_blocks = _log2(cfg.n_blocks)
+    seed = cfg.hash_seed
+    k, s, z = cfg.k, cfg.sectors, cfg.zones
+    sector_bits = cfg.sector_bits
+    lb_sector = _log2(sector_bits)
+    keys32 = keys.astype(np.uint32, copy=False)
+
+    h0 = mul_hash32(keys, 0, seed)
+    block_base = h0 >> np.uint32(32 - lb_blocks) if lb_blocks else np.zeros(n, np.uint32)
+    block_base = block_base * np.uint32(B)
+    row = np.empty(n, dtype=np.uint32)
+
+    if z == 1:
+        for i in range(k):
+            np.multiply(keys32, _mul_const(1 + i, seed), out=row)
+            np.right_shift(row, np.uint32(32 - lb_sector), out=row)
+            row += block_base
+            if i % s:
+                row += np.uint32((i % s) * sector_bits)
+            yield row
+        return
+
+    zone_bits = B // z
+    spz, kpz = s // z, k // z
+    lb_z = _log2(z)
+    for g in range(z):
+        hz = mul_hash32(keys, 1 + k + g, seed)
+        zone_base = block_base + (hz >> np.uint32(32 - lb_z)) * np.uint32(zone_bits) \
+            if lb_z else block_base
+        for j in range(kpz):
+            i = g * kpz + j
+            np.multiply(keys32, _mul_const(1 + i, seed), out=row)
+            np.right_shift(row, np.uint32(32 - lb_sector), out=row)
+            row += zone_base
+            if j % spz:
+                row += np.uint32((j % spz) * sector_bits)
+            yield row
+
+
 def _bit_indices64(keys: np.ndarray, cfg: BloomConfig) -> np.ndarray:
     n = keys.shape[0]
     B = cfg.block_bits
@@ -188,8 +232,8 @@ class BloomBuilder:
         keys = _as_keys(tokens)
         if self._bool is not None:
             for lo in range(0, keys.shape[0], _CHUNK):
-                idx = _bit_indices(keys[lo : lo + _CHUNK], self.cfg).ravel()
-                self._bool[idx] = True
+                for row in _bit_rows32(keys[lo : lo + _CHUNK], self.cfg):
+                    self._bool[row] = True
         else:
             insert(self._bytes, keys, self.cfg)
 
@@ -242,18 +286,25 @@ def build(tokens: np.ndarray, cfg: BloomConfig) -> bytes:
 def contains(tokens: np.ndarray, payload: np.ndarray, cfg: BloomConfig) -> np.ndarray:
     """Membership test; returns bool array. Reference parity: ``batch_contains``
     (A3/A4) — the selection vector becomes a boolean column Spark-side.
+
+    Fused: one hash row is computed and gathered at a time (no (k, n) index
+    matrix), cutting temporary memory traffic k-fold; short-circuit semantics
+    are preserved bit-exactly by AND-accumulation.
     """
     keys = _as_keys(tokens)
     n = keys.shape[0]
     out = np.empty(n, dtype=bool)
     for lo in range(0, n, _CHUNK):
         chunk = keys[lo : lo + _CHUNK]
-        idx = _bit_indices(chunk, cfg)  # (k, nc)
-        byte_idx = (idx >> np.uint64(3)).astype(np.int64)
-        shift = (idx & np.uint64(7)).astype(np.uint8)
-        hit = (payload[byte_idx[0]] >> shift[0]) & np.uint8(1)
-        for i in range(1, cfg.k):
-            hit &= (payload[byte_idx[i]] >> shift[i]) & np.uint8(1)
+        hit = None
+        if cfg.m_bits <= (1 << 31):
+            rows = _bit_rows32(chunk, cfg)
+        else:
+            rows = iter(_bit_indices64(chunk, cfg))
+        for row in rows:
+            bits = (payload[(row >> np.uint32(3)).astype(np.int64)]
+                    >> (row & np.uint32(7)).astype(np.uint8)) & np.uint8(1)
+            hit = bits if hit is None else (hit & bits)
         out[lo : lo + chunk.shape[0]] = hit.astype(bool)
     return out
 

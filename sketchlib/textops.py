@@ -50,24 +50,44 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # word hashing / shingling kernel (Arrow batch -> NumPy, no per-token Python)
 # ---------------------------------------------------------------------------
 
-def _word_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Flat word-hash array + per-doc segment starts for a batch of texts.
-    Words are factorized (C-speed) then hashed once per distinct word."""
-    words = texts.str.split()
-    lens = words.str.len().fillna(0).astype(np.int64).to_numpy()
-    flat = np.concatenate([w for w in words if w is not None and len(w)]) if lens.sum() else np.array([], dtype=object)
-    starts = np.r_[0, np.cumsum(lens)[:-1]]
-    if flat.size == 0:
+def _fnv64(word: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in word.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Flat word-hash array + per-doc segment starts for a batch of texts
+    (pandas Series or pyarrow StringArray). Arrow-side whitespace split +
+    dictionary encode, so Python touches only the *distinct* words."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pd.Series):
+        arr = pa.array(texts.fillna(""), type=pa.string())
+    else:
+        arr = texts if not isinstance(texts, pa.ChunkedArray) else texts.combine_chunks()
+        arr = pc.coalesce(arr, "")
+    arr = pc.utf8_trim_whitespace(arr)
+    words_list = pc.utf8_split_whitespace(arr)
+    lens = pc.list_value_length(words_list).to_numpy(zero_copy_only=False).astype(np.int64)
+    # a fully-empty (trimmed) doc still splits to [''] — zero it out
+    empty_row = pc.equal(arr, "").to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(words_list)
+    if empty_row.any():
+        raw_starts = np.r_[0, np.cumsum(lens)[:-1]]
+        keep = np.ones(len(flat), dtype=bool)
+        keep[raw_starts[empty_row]] = False
+        flat = flat.filter(pa.array(keep))
+        lens = np.where(empty_row, 0, lens)
+    starts = np.r_[0, np.cumsum(lens)[:-1]] if lens.size else np.zeros(0, np.int64)
+    total = int(lens.sum()) if lens.size else 0
+    if total == 0:
         return np.empty(0, dtype=np.uint64), starts
-    codes, uniques = pd.factorize(flat)
-    # hash each distinct word (FNV over utf-8) once, then gather
-    uh = np.empty(len(uniques), dtype=np.uint64)
-    M = np.uint64(0x100000001B3)
-    for i, w in enumerate(uniques):
-        h = 0xCBF29CE484222325
-        for b in w.encode("utf-8"):
-            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        uh[i] = h
+    dic = pc.dictionary_encode(flat)
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = dic.dictionary.to_pylist()
+    uh = np.fromiter((_fnv64(w) for w in uniques), dtype=np.uint64, count=len(uniques))
     return splitmix64(uh[codes], seed=11), starts
 
 
