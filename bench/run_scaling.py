@@ -25,7 +25,23 @@ def make_zip() -> str:
     return zpath
 
 
+def wait_quiet(threshold: float = 1.5, max_wait_s: int = 600) -> float:
+    """Block until the host's 1-min loadavg (external tenants included) drops
+    below ``threshold`` — this sandbox shares cores with invisible neighbors,
+    and a run launched into their burst measures them, not us."""
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        load = os.getloadavg()[0]
+        if load < threshold:
+            return load
+        time.sleep(10)
+    return os.getloadavg()[0]
+
+
 def run_one(master: str, zpath: str, n_docs: int) -> dict:
+    load = wait_quiet()
     cmd = [
         "spark-submit",
         "--master", master,
@@ -39,7 +55,9 @@ def run_one(master: str, zpath: str, n_docs: int) -> dict:
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{") and "tokens_per_sec" in line:
-            return json.loads(line)
+            r = json.loads(line)
+            r["loadavg_at_launch"] = round(load, 2)
+            return r
     sys.stderr.write(out.stdout[-3000:] + "\n" + out.stderr[-3000:])
     raise RuntimeError(f"no result line from {master}")
 
@@ -51,14 +69,19 @@ def main() -> None:
     n_big = 4 * n_small
     zpath = make_zip()
 
-    def best_of(master: str) -> dict:
-        runs = [run_one(master, zpath, n_docs) for _ in range(repeats)]
-        best = max(runs, key=lambda r: r["tokens_per_sec"])
-        best["all_tokens_per_sec"] = [r["tokens_per_sec"] for r in runs]
-        return best
+    # interleave the two levels so both sample the same noise windows
+    runs_n: list[dict] = []
+    runs_4n: list[dict] = []
+    for _ in range(repeats):
+        runs_n.append(run_one(f"local[{n_small}]", zpath, n_docs))
+        runs_4n.append(run_one(f"local[{n_big}]", zpath, n_docs))
 
-    r_n = best_of(f"local[{n_small}]")
-    r_4n = best_of(f"local[{n_big}]")
+    def best(runs: list[dict]) -> dict:
+        b = max(runs, key=lambda r: r["tokens_per_sec"])
+        b["all_tokens_per_sec"] = [r["tokens_per_sec"] for r in runs]
+        return b
+
+    r_n, r_4n = best(runs_n), best(runs_4n)
     t_n, t_4n = r_n["tokens_per_sec"], r_4n["tokens_per_sec"]
     eff = (t_4n / t_n) / 4.0
 

@@ -180,9 +180,19 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None, part_col: 
                         )
                     )
                     if want_unique:
-                        uniq, counts = np.unique(values, return_counts=True)
+                        vmax = int(values.max()) if values.size else 0
+                        vmin = int(values.min()) if values.size else 0
+                        if 0 <= vmin and vmax < (1 << 22):
+                            # bounded domain (token ids <= vocab): O(n) histogram
+                            # beats the O(n log n) sort and stays cache-resident
+                            hist = np.bincount(values, minlength=0)
+                            uniq = np.flatnonzero(hist)
+                            counts = hist[uniq]
+                            uniq = uniq.astype(values.dtype, copy=False)
+                        else:
+                            uniq, counts = np.unique(values, return_counts=True)
                         if values.size and uniq.size > 0.5 * values.size:
-                            _dedup_off[col] = True  # low duplication: not worth the sort
+                            _dedup_off[col] = True  # low duplication: not worth it
                     for name, module, cfg, _ in col_specs:
                         st = _get(name, module, cfg, gval, pid)
                         builder = st[2]

@@ -99,12 +99,16 @@ def _shingle_hashes(word_h: np.ndarray, starts: np.ndarray, n: int) -> tuple[np.
     ends = np.r_[starts[1:], total]
     if total == 0:
         return np.empty(0, dtype=np.uint64), starts.copy()
+    seg_len_per_pos = ends - starts
+    doc_end = np.repeat(ends, seg_len_per_pos)  # owning doc's end, per position
+    pos = np.arange(total, dtype=np.int64)
     with np.errstate(over="ignore"):
         acc = word_h.copy()
         for j in range(1, n):
-            shifted = np.empty_like(word_h)
-            shifted[: total - j] = word_h[j:]
-            shifted[total - j :] = 0
+            shifted = np.zeros_like(word_h)
+            valid = pos + j < doc_end  # never combine across a doc boundary
+            src = pos[valid] + j
+            shifted[valid] = word_h[src]
             acc = acc * np.uint64(0x9E3779B97F4A7C15) + shifted
     # valid shingle positions: within-doc windows of length n
     seg_len = ends - starts
