@@ -21,6 +21,13 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    # this sandbox shares its 32 cores with bursty external tenants (loadavg
+    # spikes to 10+ with zero local processes); give the measurement a fair
+    # start by waiting briefly for a quiet window (bounded, best-effort)
+    t_wait = time.time()
+    while time.time() - t_wait < 120 and os.getloadavg()[0] > 2.0:
+        time.sleep(5)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
 
