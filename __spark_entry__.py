@@ -10,7 +10,11 @@ their outputs are estimates no ANSI-SQL engine reproduces.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # sketchlib importable
 
 import numpy as np
 
