@@ -416,6 +416,61 @@ def q26_chars_quartiles_by_source(spark, sf_dir):
     )
 
 
+def q27_string_functions(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.upper(F.substring("p_name", 1, 3)).alias("prefix"),
+            F.length("p_name").alias("name_len"),
+            F.when(F.col("p_type").like("%BRASS%"), 1).otherwise(0).alias("is_brass"),
+        )
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("name_len").alias("len_sum"),
+             F.sum("is_brass").alias("brass_n"))
+        .orderBy("prefix")
+    )
+
+
+def q28_date_parts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.dayofmonth("o_orderdate").alias("dom"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("dom") <= 3)
+        .orderBy("y", "q", "dom")
+    )
+
+
+def q29_math_functions(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.sqrt(F.col("l_extendedprice"))).alias("sqrt_bucket")
+    return (
+        li.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.ceil("l_discount").cast("bigint")).alias("ceil_disc_sum"),
+            F.sum(F.abs(F.col("l_quantity") - 25).cast("bigint")).alias("abs_dev_sum"),
+        )
+        .orderBy("sqrt_bucket")
+    )
+
+
+def q30_json_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int").alias("k")
+    return (
+        e.select(k, "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum"),
+             F.min("k").alias("k_min"), F.max("k").alias("k_max"))
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # sketch-side queries (estimates — registered without oracle: rows-only check)
 # ---------------------------------------------------------------------------
@@ -671,6 +726,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_top3_events_per_type": q24_top3_events_per_type,
         "q25_langid_counts": q25_langid_counts,
         "q26_chars_quartiles_by_source": q26_chars_quartiles_by_source,
+        "q27_string_functions": q27_string_functions,
+        "q28_date_parts": q28_date_parts,
+        "q29_math_functions": q29_math_functions,
+        "q30_json_extract": q30_json_extract,
         # sketch-side (rows-only)
         "sk_bloom_fpr_grid": sk_bloom_fpr_grid,
         "sk_hll_distinct_by_source": sk_hll_distinct_by_source,
@@ -900,5 +959,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, quartile, COUNT(*) AS n, MAX(n_chars) AS max_chars
             FROM q GROUP BY source, quartile ORDER BY source, quartile
+        """,
+        "q27_string_functions": """
+            SELECT UPPER(SUBSTRING(p_name, 1, 3)) AS prefix,
+                   COUNT(*) AS n,
+                   SUM(LENGTH(p_name)) AS len_sum,
+                   SUM(CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END) AS brass_n
+            FROM part GROUP BY prefix ORDER BY prefix
+        """,
+        "q28_date_parts": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+                   CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+                   CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+                   COUNT(*) AS n
+            FROM orders GROUP BY y, q, dom HAVING dom <= 3 ORDER BY y, q, dom
+        """,
+        "q29_math_functions": """
+            SELECT CAST(FLOOR(SQRT(l_extendedprice)) AS BIGINT) AS sqrt_bucket,
+                   COUNT(*) AS n,
+                   SUM(CAST(CEIL(l_discount) AS BIGINT)) AS ceil_disc_sum,
+                   SUM(CAST(ABS(l_quantity - 25) AS BIGINT)) AS abs_dev_sum
+            FROM lineitem GROUP BY sqrt_bucket ORDER BY sqrt_bucket
+        """,
+        "q30_json_extract": """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+                   MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+                   MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
     }
