@@ -803,12 +803,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type ORDER BY event_type
         """,
         "q07_docs_lang_stats": """
-            SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars_sum,
+            SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
                    MIN(n_chars) AS chars_min, MAX(n_chars) AS chars_max
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "q08_docs_token_counts": """
-            SELECT source, SUM(len(string_split(text, ' '))) AS words_sum,
+            SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS words_sum,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source
         """,
@@ -860,7 +860,7 @@ def oracle_sql() -> dict[str, str]:
                          w -> list_contains(['the','a','of','and','to','in','is'], w))) AS ns
               FROM documents
             )
-            SELECT lang, SUM(nw) AS words_sum, SUM(ns) AS stop_sum,
+            SELECT lang, CAST(SUM(nw) AS BIGINT) AS words_sum, CAST(SUM(ns) AS BIGINT) AS stop_sum,
                    CAST(SUM(ns) AS DOUBLE) / SUM(nw) AS stop_ratio
             FROM feats GROUP BY lang ORDER BY lang
         """,
@@ -871,7 +871,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
         """,
         "q18_embeddings_label_stats": """
-            SELECT label, COUNT(*) AS n, SUM(len(embedding)) AS dims_sum
+            SELECT label, COUNT(*) AS n, CAST(SUM(len(embedding)) AS BIGINT) AS dims_sum
             FROM embeddings GROUP BY label ORDER BY label
         """,
         "q19_rollup_orders": """
@@ -893,7 +893,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
             )
-            SELECT SUM(new_session) AS n_sessions, COUNT(*) AS n_events,
+            SELECT CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events,
                    CAST(COUNT(*) AS DOUBLE) / SUM(new_session) AS events_per_session
             FROM marked
         """,
@@ -963,8 +963,8 @@ def oracle_sql() -> dict[str, str]:
         "q27_string_functions": """
             SELECT UPPER(SUBSTRING(p_name, 1, 3)) AS prefix,
                    COUNT(*) AS n,
-                   SUM(LENGTH(p_name)) AS len_sum,
-                   SUM(CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END) AS brass_n
+                   CAST(SUM(LENGTH(p_name)) AS BIGINT) AS len_sum,
+                   CAST(SUM(CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END) AS BIGINT) AS brass_n
             FROM part GROUP BY prefix ORDER BY prefix
         """,
         "q28_date_parts": """
@@ -977,13 +977,13 @@ def oracle_sql() -> dict[str, str]:
         "q29_math_functions": """
             SELECT CAST(FLOOR(SQRT(l_extendedprice)) AS BIGINT) AS sqrt_bucket,
                    COUNT(*) AS n,
-                   SUM(CAST(CEIL(l_discount) AS BIGINT)) AS ceil_disc_sum,
-                   SUM(CAST(ABS(l_quantity - 25) AS BIGINT)) AS abs_dev_sum
+                   CAST(SUM(CAST(CEIL(l_discount) AS BIGINT)) AS BIGINT) AS ceil_disc_sum,
+                   CAST(SUM(CAST(ABS(l_quantity - 25) AS BIGINT)) AS BIGINT) AS abs_dev_sum
             FROM lineitem GROUP BY sqrt_bucket ORDER BY sqrt_bucket
         """,
         "q30_json_extract": """
             SELECT event_type, COUNT(*) AS n,
-                   SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
                    MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
                    MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
             FROM events GROUP BY event_type ORDER BY event_type
