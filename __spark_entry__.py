@@ -925,7 +925,7 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY value DESC, event_id ASC) AS rn
               FROM events
             )
-            SELECT event_type, rn, event_id, ROUND(value, 6) AS value
+            SELECT event_type, CAST(rn AS INT) AS rn, event_id, ROUND(value, 6) AS value
             FROM ranked WHERE rn <= 3 ORDER BY event_type, rn
         """,
         "q25_langid_counts": """
@@ -954,7 +954,7 @@ def oracle_sql() -> dict[str, str]:
         "q26_chars_quartiles_by_source": """
             WITH q AS (
               SELECT source, n_chars,
-                     NTILE(4) OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS quartile
+                     CAST(NTILE(4) OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS INT) AS quartile
               FROM documents
             )
             SELECT source, quartile, COUNT(*) AS n, MAX(n_chars) AS max_chars
