@@ -44,11 +44,29 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
 ORACLE_NAMES = sorted(entrymod.oracle_sql().keys())
 
 
+def _family(dtype) -> str:
+    if np.issubdtype(dtype, np.floating):
+        return "float"
+    if np.issubdtype(dtype, np.integer):
+        return "int"
+    if np.issubdtype(dtype, np.bool_):
+        return "bool"
+    return "other"
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_duckdb_oracle(spark, ddb, name):
     q = entrymod.queries()[name]
-    got = _canon(q(spark, SF_DIR).toPandas())
-    want = _canon(ddb.sql(entrymod.oracle_sql()[name]).df())
+    raw_got = q(spark, SF_DIR).toPandas()
+    raw_want = ddb.sql(entrymod.oracle_sql()[name]).df()
+    # dtype families must agree BEFORE canonicalization — an int column on
+    # one side rendered as float on the other ("5" vs "5.0") would break a
+    # stringify-then-hash comparator even when values are numerically equal
+    fam_got = {c: _family(raw_got[c].dtype) for c in raw_got.columns}
+    fam_want = {c: _family(raw_want[c].dtype) for c in raw_want.columns}
+    assert fam_got == fam_want, f"{name}: dtype-family mismatch"
+    got = _canon(raw_got)
+    want = _canon(raw_want)
     assert list(got.columns) == list(want.columns), f"{name}: column mismatch"
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
