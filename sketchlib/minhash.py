@@ -44,6 +44,58 @@ def insert(sig: np.ndarray, values: np.ndarray, cfg: MinHashConfig) -> None:
             sig[j] = min(sig[j], (h * consts[j]).min())
 
 
+def signatures_segmented_oph(
+    flat_values: np.ndarray, starts: np.ndarray, cfg: MinHashConfig
+) -> np.ndarray:
+    """One-permutation-hashing signatures (Li, Owen, Zhang 2012) with
+    optimal densification (Shrivastava 2017): ONE hash pass assigns each item
+    to bucket = top bits, slot value = low bits; per-(doc, bucket) min; empty
+    buckets borrow from a hash-rotated neighbor. ~num_perm x fewer passes
+    than the k-permutation scheme — the scale path for per-doc signatures.
+
+    Same estimator contract (slot agreement ~ Jaccard, SE ~ 1/sqrt(num_perm));
+    NOT slot-compatible with k-perm signatures — compare like with like.
+    """
+    n_docs = starts.size
+    P = cfg.num_perm
+    out = np.full((n_docs, P), _U64MAX, dtype=np.uint64)
+    if flat_values.size == 0 or n_docs == 0:
+        return out
+    h = splitmix64(flat_values, seed=cfg.hash_seed)
+    lbP = P.bit_length() - 1
+    if (1 << lbP) != P:
+        raise ValueError("OPH requires num_perm to be a power of two")
+    bucket = (h >> np.uint64(64 - lbP)).astype(np.int64)
+    slot_val = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)  # 32-bit slots
+    seg_len = np.diff(np.r_[starts, flat_values.size])
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), seg_len)
+    # per-(doc, bucket) min via ONE sort of a packed 64-bit key:
+    # (doc*P + bucket) << 32 | slot32 — first occurrence per group is the min
+    combined = doc_of * P + bucket
+    packed = np.sort((combined.astype(np.uint64) << np.uint64(32)) | slot_val)
+    ck = (packed >> np.uint64(32)).astype(np.int64)
+    first = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+    out.ravel()[ck[first]] = packed[first] & np.uint64(0xFFFFFFFF)
+    # optimal densification: empty bucket j of doc d copies from bucket
+    # (j + t*rot_j) mod P, walking t until a filled bucket is found
+    empty_d, empty_j = np.nonzero(out == _U64MAX)
+    if empty_d.size:
+        rot = (splitmix64(np.arange(P, dtype=np.uint64), seed=cfg.hash_seed ^ 0xD1CE)
+               .astype(np.int64) % (P - 1)) + 1
+        pending = np.arange(empty_d.size)
+        probe = empty_j.copy()
+        for _ in range(P):
+            probe[pending] = (probe[pending] + rot[empty_j[pending]]) % P
+            vals = out[empty_d[pending], probe[pending]]
+            filled = vals != _U64MAX
+            idx = pending[filled]
+            out[empty_d[idx], empty_j[idx]] = vals[filled]
+            pending = pending[~filled]
+            if pending.size == 0:
+                break
+    return out
+
+
 def signatures_segmented(
     flat_values: np.ndarray, starts: np.ndarray, cfg: MinHashConfig
 ) -> np.ndarray:

@@ -126,20 +126,26 @@ def _shingle_hashes(word_h: np.ndarray, starts: np.ndarray, n: int) -> tuple[np.
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    num_perm: int = 128, shingle_n: int = 3,
+    num_perm: int = 128, shingle_n: int = 3, scheme: str = "oph",
 ) -> DataFrame:
-    """(id, signature array<bigint>) — per-doc MinHash over word n-shingles."""
+    """(id, signature array<bigint>) — per-doc MinHash over word n-shingles.
+
+    ``scheme="oph"`` (default): one-permutation hashing with optimal
+    densification — one hash pass + one sort per batch, ~num_perm x faster
+    than ``"kperm"`` (classic k independent permutations). Signatures from
+    different schemes are NOT comparable with each other."""
     cfg = MinHashConfig(num_perm=num_perm)
+    sig_fn = mh.signatures_segmented_oph if scheme == "oph" else mh.signatures_segmented
     in_fields = [(id_col, df.schema[id_col].dataType.simpleString())]
     schema = ", ".join(f"{n} {t}" for n, t in in_fields) + ", signature array<bigint>"
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            texts = batch.column(text_col).to_pandas()
+            texts = batch.column(text_col)
             ids = batch.column(id_col)
             wh, starts = _word_hashes(texts)
             sh, sstarts = _shingle_hashes(wh, starts.astype(np.int64), shingle_n)
-            sigs = mh.signatures_segmented(sh, sstarts, cfg)
+            sigs = sig_fn(sh, sstarts, cfg)
             sig_i64 = sigs.view(np.int64)  # reinterpret for Spark bigint
             arr = pa.FixedSizeListArray.from_arrays(
                 pa.array(sig_i64.ravel(), type=pa.int64()), cfg.num_perm
