@@ -654,6 +654,17 @@ def sk_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def sk_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (k-means clusters + nprobe pruning) around vector 0."""
+    from sketchlib import simsearch
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.orderBy("vec_id").first()["embedding"]
+    return simsearch.ann_topk_ivf(
+        e, list(q), dim=len(q), k=10, n_clusters=8, nprobe=3
+    ).select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def sk_approx_topk(spark, sf_dir):
     """Approximate heavy hitters (local-top-c candidates + CMS scoring)."""
     from sketchlib import topk
@@ -743,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_doc_fingerprints": sk_doc_fingerprints,
         "sk_ann_cosine_topk": sk_ann_cosine_topk,
         "sk_ann_lsh_topk": sk_ann_lsh_topk,
+        "sk_ann_ivf_topk": sk_ann_ivf_topk,
         "sk_approx_topk": sk_approx_topk,
         "sk_corpus_pipeline": sk_corpus_pipeline,
     }

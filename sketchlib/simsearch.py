@@ -131,6 +131,66 @@ def query_buckets(query: list[float], dim: int, n_bits: int = 16, seed: int = 42
     return out
 
 
+def fit_ivf_centroids(df: DataFrame, dim: int, n_clusters: int = 16,
+                      sample: int = 10_000, iters: int = 10, seed: int = 4242,
+                      vec_col: str = "embedding") -> np.ndarray:
+    """Driver-side mini k-means on a sample (seeded, deterministic given the
+    sample). At 100 TB the sample is a tiny limit-scan; the expensive part —
+    assignment — happens once, distributed, in ``with_ivf_cluster``."""
+    rows = df.select(vec_col).limit(sample).collect()
+    mat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-30)
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(mat.shape[0], size=min(n_clusters, mat.shape[0]), replace=False)]
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for c in range(cent.shape[0]):
+            members = mat[assign == c]
+            if members.shape[0]:
+                m = members.mean(axis=0)
+                cent[c] = m / (np.linalg.norm(m) + 1e-30)
+    return cent
+
+
+def with_ivf_cluster(df: DataFrame, centroids: np.ndarray,
+                     vec_col: str = "embedding") -> DataFrame:
+    """Add ``cluster`` = argmax cosine to the centroids (one matmul per
+    Arrow batch). At scale, write the table partitioned by this column so
+    queries prune to their probe clusters at the scan."""
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    cent = centroids.copy()
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            flat = batch.column(vec_col).flatten().to_numpy(zero_copy_only=False)
+            mat = flat.astype(np.float64).reshape(-1, cent.shape[1])
+            mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-30)
+            assign = (mat @ cent.T).argmax(axis=1).astype(np.int32)
+            yield batch.append_column("cluster", pa.array(assign))
+
+    return df.mapInArrow(fn, f"{fields}, cluster int")
+
+
+def ann_topk_ivf(df: DataFrame, query: list[float], dim: int, k: int = 10,
+                 n_clusters: int = 16, nprobe: int = 4, seed: int = 4242,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF ANN: probe only the ``nprobe`` clusters nearest the query, exact
+    cosine inside them. Recall/cost dial = nprobe."""
+    cent = centroids if centroids is not None else fit_ivf_centroids(
+        df, dim, n_clusters, seed=seed, vec_col=vec_col)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) + 1e-30)
+    probes = np.argsort(-(cent @ qn))[:nprobe].tolist()
+    clustered = with_ivf_cluster(df, cent, vec_col)
+    cand = clustered.filter(F.col("cluster").isin([int(p) for p in probes]))
+    return (
+        cand.select(id_col, _cos_expr(vec_col, query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ann_topk_lsh(df: DataFrame, query: list[float], dim: int, k: int = 10,
                  n_bits: int = 16, seed: int = 4242, hamming: int = 1,
                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:

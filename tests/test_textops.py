@@ -146,6 +146,23 @@ def test_lsh_ann_finds_self_and_neardup(vectors):
     assert 7 in ids  # near-identical vector shares the bucket neighborhood
 
 
+def test_ivf_ann_recall(vectors):
+    df, mat = vectors
+    q = [float(x) for x in mat[0]]
+    got = simsearch.ann_topk_ivf(df, q, dim=32, k=5, n_clusters=8, nprobe=3).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids[0] == 0 and 7 in ids
+    # brute-force ground truth overlap (recall@5 >= 3/5 with nprobe=3/8)
+    qv = np.asarray(q)
+    scores = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    want = set(np.argsort(-scores, kind="stable")[:5].tolist())
+    assert len(want & set(ids)) >= 3
+    # determinism: same seed -> same result
+    again = [r["vec_id"] for r in
+             simsearch.ann_topk_ivf(df, q, dim=32, k=5, n_clusters=8, nprobe=3).collect()]
+    assert again == ids
+
+
 # ---------- multimodal plumbing ---------------------------------------------------
 
 def test_multimodal_metadata_and_features(spark):
