@@ -207,6 +207,59 @@ def minhash_near_duplicates(
     )
 
 
+def token_minhash_signatures(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+    num_perm: int = 128, shingle_n: int = 3, scheme: str = "oph",
+) -> DataFrame:
+    """Per-doc MinHash signatures directly over the pre-tokenized corpus
+    shape (BASELINE.json:15: tokens array<int32>) — token-id n-gram shingles,
+    no text processing at all. This is the dedup op a tokenized training
+    pipeline actually runs."""
+    from sketchlib import arrowutil
+
+    cfg = MinHashConfig(num_perm=num_perm)
+    sig_fn = mh.signatures_segmented_oph if scheme == "oph" else mh.signatures_segmented
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            flat, starts = arrowutil.list_to_flat(batch.column(tokens_col))
+            wh = splitmix64(flat.astype(np.uint64), seed=11)
+            sh, sstarts = _shingle_hashes(wh, starts.astype(np.int64), shingle_n)
+            sigs = sig_fn(sh, sstarts, cfg)
+            arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.view(np.int64).ravel(), type=pa.int64()), cfg.num_perm
+            ).cast(pa.list_(pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col), arr], names=[id_col, "signature"]
+            )
+
+    return df.select(id_col, tokens_col).mapInArrow(
+        fn, f"{id_col} {id_type}, signature array<bigint>"
+    )
+
+
+def token_near_duplicates(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+    num_perm: int = 128, shingle_n: int = 3, bands: int = 32,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH near-dup over token arrays: signatures → band-bucket join
+    → slot-agreement verification (same machinery as the text pipeline)."""
+    rows_per_band = num_perm // bands
+    sigs = token_minhash_signatures(df, tokens_col, id_col, num_perm, shingle_n).cache()
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
+    joined = cands.join(sa, "a").join(sb, "b")
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return (
+        joined.withColumn("jaccard_est", agree / F.lit(num_perm))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("a", "b", "jaccard_est")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
