@@ -676,6 +676,22 @@ def sk_approx_topk(spark, sf_dir):
     )
 
 
+def sk_token_near_dups(spark, sf_dir):
+    """Near-dup detection over the pre-tokenized corpus shape: deterministic
+    synthetic corpus with injected exact + near duplicates."""
+    from sketchlib import datagen, textops
+
+    corpus = datagen.corpus_df(spark, 2_000, partitions=4)
+    # inject duplicates of the first 5 docs (doc_ids prefixed 'dup')
+    dups = (
+        corpus.orderBy("doc_id").limit(5)
+        .select(F.concat(F.lit("dup_of_"), F.col("doc_id")).alias("doc_id"), "tokens")
+    )
+    both = corpus.select("doc_id", "tokens").unionByName(dups)
+    pairs = textops.token_near_duplicates(both, num_perm=128, bands=32, threshold=0.8)
+    return pairs.orderBy("a", "b")
+
+
 def sk_corpus_pipeline(spark, sf_dir):
     """The north-rule pipeline on the synthetic tokenized corpus: all five
     sketches, grouped by source, with exact references."""
@@ -756,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_ann_lsh_topk": sk_ann_lsh_topk,
         "sk_ann_ivf_topk": sk_ann_ivf_topk,
         "sk_approx_topk": sk_approx_topk,
+        "sk_token_near_dups": sk_token_near_dups,
         "sk_corpus_pipeline": sk_corpus_pipeline,
     }
 
