@@ -94,14 +94,64 @@ def _meta_path(ckpt: str) -> str:
     return os.path.join(ckpt, "job.json")
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) via the JVM Hadoop API — works for file://, hdfs://,
+    s3a://, … The checkpoint dir on a real cluster is object storage; driver-
+    local ``os.path`` calls would silently see nothing there and re-run the
+    whole job, appending duplicate partials."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def _fs_mkdirs(spark: SparkSession, path: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path)
+    fs.mkdirs(jpath)
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    fs, jpath = _hadoop_fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        # JVM-side drain (py4j passes byte buffers by value, so a Python-side
+        # read loop would see only zeros); commons-io ships with Spark
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _fs_write_text(spark: SparkSession, path: str, content: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path)
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()
+
+
 def completed_parts(spark: SparkSession, ckpt: str) -> set[int]:
     path = _partials_path(ckpt)
-    if not os.path.exists(path):
+    if not _fs_exists(spark, path):
         return set()
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.read.parquet(path).select("part").distinct().collect()
-    except Exception:
-        return set()
+    except AnalysisException as e:
+        # Only the "directory exists but holds no committed parquet yet"
+        # case (killed before first commit) legitimately means zero parts.
+        # Any other failure must PROPAGATE: treating a transient read error
+        # as "nothing done" would rebuild everything and append duplicate
+        # partials, double-counting the non-idempotent sketches.
+        if "infer schema" in str(e).lower() or "path does not exist" in str(e).lower():
+            return set()
+        raise
     return {r["part"] for r in rows}
 
 
@@ -116,18 +166,16 @@ def run(
     Safe to call repeatedly: each call completes any missing partials, then
     merges. The partials parquet is the durable unit of progress.
     """
-    os.makedirs(checkpoint_dir, exist_ok=True)
+    _fs_mkdirs(spark, checkpoint_dir)
     meta_p = _meta_path(checkpoint_dir)
-    if os.path.exists(meta_p):
-        with open(meta_p) as fh:
-            existing = fh.read()
+    if _fs_exists(spark, meta_p):
+        existing = _fs_read_text(spark, meta_p)
         if existing != job.to_json():
             raise SketchConfigError(
                 f"checkpoint at {checkpoint_dir} was created by a different job spec"
             )
     else:
-        with open(meta_p, "w") as fh:
-            fh.write(job.to_json())
+        _fs_write_text(spark, meta_p, job.to_json())
 
     done = completed_parts(spark, checkpoint_dir)
     remaining = set(range(job.num_partitions)) - done
@@ -150,6 +198,11 @@ def run(
 
 def finalize(spark: SparkSession, job: JobSpec, checkpoint_dir: str) -> DataFrame:
     partials = spark.read.parquet(_partials_path(checkpoint_dir))
+    # Duplicate appends for the same (sketch, group, part) — e.g. two racing
+    # resumed runs that both saw the part missing — are byte-identical by
+    # determinism, so one-row-per-key makes the merge exact no matter how
+    # many times a partial landed.
+    partials = partials.dropDuplicates(["sketch", "group", "part"])
     levels = 1
     while 64**levels < job.num_partitions:
         levels += 1
@@ -176,9 +229,8 @@ def run_with_kill(
 ) -> None:
     """Test hook (T5): simulate a job killed after checkpointing only
     ``only_parts`` — builds and persists just those partials, then 'dies'."""
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    with open(_meta_path(checkpoint_dir), "w") as fh:
-        fh.write(job.to_json())
+    _fs_mkdirs(spark, checkpoint_dir)
+    _fs_write_text(spark, _meta_path(checkpoint_dir), job.to_json())
     src = with_part_id(df, job).filter(F.col(PART_COL).isin([int(p) for p in only_parts]))
     partials = agg.build_partials(
         src, list(job.specs), group_by=job.group_by,

@@ -58,6 +58,13 @@ def signatures_segmented_oph(
     """
     n_docs = starts.size
     P = cfg.num_perm
+    if n_docs * P >= (1 << 32):
+        # the packed (doc*P + bucket) group key below lives in the top 32
+        # bits; wrapping would corrupt signatures silently. Unreachable at
+        # real Arrow batch sizes — fail loud instead of wrong.
+        raise ValueError(
+            f"OPH batch too large: n_docs*num_perm = {n_docs * P} >= 2**32; chunk the batch"
+        )
     out = np.full((n_docs, P), _U64MAX, dtype=np.uint64)
     if flat_values.size == 0 or n_docs == 0:
         return out
@@ -80,8 +87,12 @@ def signatures_segmented_oph(
     # (j + t*rot_j) mod P, walking t until a filled bucket is found
     empty_d, empty_j = np.nonzero(out == _U64MAX)
     if empty_d.size:
+        # stride must be coprime to the power-of-two P so every densification
+        # walk visits all buckets (an even stride can close a cycle over a
+        # strict subset, stranding empties at the U64MAX sentinel, which the
+        # slot-agreement estimator would count as spurious matches) — force odd
         rot = (splitmix64(np.arange(P, dtype=np.uint64), seed=cfg.hash_seed ^ 0xD1CE)
-               .astype(np.int64) % (P - 1)) + 1
+               .astype(np.int64) % P) | 1
         pending = np.arange(empty_d.size)
         probe = empty_j.copy()
         for _ in range(P):

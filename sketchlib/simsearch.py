@@ -133,11 +133,15 @@ def query_buckets(query: list[float], dim: int, n_bits: int = 16, seed: int = 42
 
 def fit_ivf_centroids(df: DataFrame, dim: int, n_clusters: int = 16,
                       sample: int = 10_000, iters: int = 10, seed: int = 4242,
-                      vec_col: str = "embedding") -> np.ndarray:
+                      vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
     """Driver-side mini k-means on a sample (seeded, deterministic given the
-    sample). At 100 TB the sample is a tiny limit-scan; the expensive part —
-    assignment — happens once, distributed, in ``with_ivf_cluster``."""
-    rows = df.select(vec_col).limit(sample).collect()
+    sample). The sample is ordered by ``id_col`` so the fitted centroids — and
+    hence ANN results — do not depend on partition layout or cluster size
+    (a bare ``limit`` takes whatever partitions answer first). At 100 TB the
+    ordered sample is a TakeOrdered (per-partition top-k + driver merge, no
+    global sort); the expensive part — assignment — happens once, distributed,
+    in ``with_ivf_cluster``."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
     mat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
     mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-30)
     rng = np.random.default_rng(seed)
@@ -178,7 +182,7 @@ def ann_topk_ivf(df: DataFrame, query: list[float], dim: int, k: int = 10,
     """IVF ANN: probe only the ``nprobe`` clusters nearest the query, exact
     cosine inside them. Recall/cost dial = nprobe."""
     cent = centroids if centroids is not None else fit_ivf_centroids(
-        df, dim, n_clusters, seed=seed, vec_col=vec_col)
+        df, dim, n_clusters, seed=seed, vec_col=vec_col, id_col=id_col)
     q = np.asarray(query, dtype=np.float64)
     qn = q / (np.linalg.norm(q) + 1e-30)
     probes = np.argsort(-(cent @ qn))[:nprobe].tolist()

@@ -60,18 +60,33 @@ def sketch_sink(
                 WINDOW_COL, F.concat_ws("|", F.col(WINDOW_COL), F.col(group_by))
             )
         partials = agg.build_partials(windowed, specs, group_by=WINDOW_COL)
-        # key lineage by micro-batch: replays overwrite their own partition
+        # foreachBatch is at-least-once: a replayed micro-batch re-delivers the
+        # same batch_id with the same source offsets, so its partials are
+        # byte-identical — writing partitionBy(part=batch_id) with DYNAMIC
+        # partition overwrite makes the replay idempotent (it replaces its own
+        # partition instead of appending duplicates that would double-count
+        # the non-idempotent sketches: CMS counters, KLL/t-digest weights).
         (partials.withColumn("part", F.lit(batch_id).cast("int"))
-         .write.mode("append").parquet(os.path.join(out_dir, "partials")))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("part")
+         .parquet(os.path.join(out_dir, "partials")))
 
     return sink
 
 
 def read_windowed_sketches(spark: SparkSession, out_dir: str) -> DataFrame:
     """Merge the streamed partials into one row per (sketch, window[, group]).
-    The ``group`` column carries the window label written by the sink."""
+    The ``group`` column carries the window label written by the sink.
+
+    Defense-in-depth against duplicate partials (e.g. a legacy append-mode
+    layout, or a sink crash between partition commits): partials for the same
+    (sketch, group, part) are byte-identical by determinism, so keeping one
+    row per key is exact — never double-counted."""
     partials = spark.read.parquet(os.path.join(out_dir, "partials"))
-    return agg.merge_partials(partials, fanout=64, levels=2)
+    return agg.merge_partials(
+        partials.dropDuplicates(["sketch", "group", "part"]), fanout=64, levels=2
+    )
 
 
 def stateful_windowed_sketch(

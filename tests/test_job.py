@@ -69,6 +69,21 @@ def test_lineage_records_all_partitions(spark, corpus, tmp_path_factory):
     assert hll_items == total_tokens
 
 
+def test_duplicate_partial_appends_are_deduped(spark, corpus, tmp_path_factory):
+    """Two racing resumed runs can both append partials for the same part;
+    finalize must keep one row per (sketch, group, part) so non-idempotent
+    sketches (KLL here) are not double-weighted."""
+    j = _job()
+    ref_dir = str(tmp_path_factory.mktemp("dedup_ref"))
+    ref = agg.collect_blobs(job.run(spark, corpus, j, ref_dir))
+
+    dup_dir = str(tmp_path_factory.mktemp("dedup_dup"))
+    job.run_with_kill(spark, corpus, j, dup_dir, only_parts={0, 1})
+    job.run_with_kill(spark, corpus, j, dup_dir, only_parts={1, 2})  # part 1 duplicated
+    got = agg.collect_blobs(job.run(spark, corpus, j, dup_dir))
+    assert got == ref
+
+
 def test_mismatched_jobspec_rejected(spark, corpus, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("mm"))
     job.run(spark, corpus, _job(), d)

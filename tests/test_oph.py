@@ -53,6 +53,27 @@ def test_oph_small_and_empty_docs():
     assert (sigs[2] == np.uint64(0xFFFFFFFFFFFFFFFF)).all()  # truly empty doc
 
 
+def test_oph_densification_full_coverage_every_seed():
+    """The densification stride is forced odd (coprime to the power-of-two
+    bucket count), so every walk must visit all buckets regardless of seed —
+    a single-item doc (P-1 empty buckets) is the worst case. Before the fix
+    this guarantee was per-seed luck."""
+    for seed in range(64):
+        cfg = MinHashConfig(num_perm=64, hash_seed=seed)
+        sigs = mh.signatures_segmented_oph(
+            np.array([123456789], dtype=np.uint64), np.array([0], dtype=np.int64), cfg
+        )
+        assert (sigs != np.uint64(0xFFFFFFFFFFFFFFFF)).all(), f"seed {seed} stranded empties"
+
+
+def test_oph_batch_size_guard():
+    cfg = MinHashConfig(num_perm=4096)
+    n_docs = (1 << 32) // 4096  # exactly at the limit
+    starts = np.zeros(n_docs, dtype=np.int64)  # never reaches the big alloc
+    with pytest.raises(ValueError, match="OPH batch too large"):
+        mh.signatures_segmented_oph(np.array([1], dtype=np.uint64), starts, cfg)
+
+
 def test_oph_deterministic():
     cfg = MinHashConfig(num_perm=128)
     a = RNG.integers(0, 10**6, 2_000).astype(np.int64)

@@ -24,6 +24,39 @@ def event_data(spark, tmp_path_factory):
     return path
 
 
+def test_replayed_micro_batch_is_idempotent(spark, tmp_path_factory):
+    """foreachBatch is at-least-once: delivering the same (batch_df, batch_id)
+    twice must NOT change the result. CMS is the sensitive sketch (counter-add
+    is not idempotent); before the dynamic-partition-overwrite fix a replay
+    appended a second partial for part=batch_id and doubled every count."""
+    from sketchlib import cms
+    from sketchlib.config import CMSConfig
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows1 = [Row(ts=base + dt.timedelta(seconds=i), token=i % 50) for i in range(1000)]
+    rows2 = [Row(ts=base + dt.timedelta(seconds=i), token=i % 70) for i in range(500)]
+    b1 = spark.createDataFrame(rows1)
+    b2 = spark.createDataFrame(rows2)
+
+    specs = [agg.SketchSpec("cms", CMSConfig(eps=0.01, delta=0.01), "token")]
+    out_dir = str(tmp_path_factory.mktemp("replay_out"))
+    sink = streaming.sketch_sink(specs, out_dir, ts_col="ts", window="60 minutes")
+
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b1, 0)  # replay of micro-batch 0
+
+    merged = streaming.read_windowed_sketches(spark, out_dir).collect()
+    assert len(merged) == 1  # one 60-min window
+    blob = bytes(merged[0]["blob"])
+    # token 0 appears 20x in batch 1 and 8x in batch 2 = 28 exactly (CMS
+    # overestimates only; at this eps/width the estimate is exact here)
+    import numpy as np
+
+    est = int(cms.query_blob(np.array([0]), blob)[0])
+    assert est == 28, f"replayed batch double-counted: est={est}, want 28"
+
+
 def test_streamed_sketches_equal_batch(spark, event_data, tmp_path_factory):
     out_dir = str(tmp_path_factory.mktemp("stream_out"))
     specs = [agg.SketchSpec("hll", HLLConfig(p=12), "token")]
