@@ -285,15 +285,23 @@ def q16_docs_quality(spark, sf_dir):
 def q17_semijoin_large_parts(spark, sf_dir):
     """Bloom-accelerated semi-join (the reference's raison d'être, SIGMOD19
     §1): lineitem rows whose part has p_size > 40 — exact because surviving
-    rows are verified by the actual semi-join; the filter only prunes."""
-    from sketchlib import bloom, fpr as fprmod, probe as probemod
+    rows are verified by the actual semi-join; the filter only prunes.
+
+    The filter is built DISTRIBUTED (per-partition partials OR-merged by
+    sketchlib.agg); only the KB-sized blob reaches the driver. At 100x scale
+    the build side is millions of keys — collecting them to hash serially in
+    one process is the anti-pattern this query used to demo."""
+    from sketchlib import agg, fpr as fprmod, probe as probemod
 
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") > 40)
-    keys = np.array([r["p_partkey"] for r in p.select("p_partkey").collect()], dtype=np.int64)
-    if keys.size:
-        cfg = fprmod.suggest_config(keys.size, 0.01, block_bits=512, sectors=8)
-        blob = bloom.build(keys.astype(np.uint32), cfg)
+    n_keys = p.count()
+    if n_keys:
+        cfg = fprmod.suggest_config(n_keys, 0.01, block_bits=512, sectors=8)
+        final = agg.build_sketches(
+            p.select("p_partkey"), [agg.SketchSpec("bloom", cfg, "p_partkey")]
+        )
+        blob = agg.collect_blobs(final)[("bloom", "")]
         pruned = probemod.with_bloom_membership(li, blob, "l_partkey", "_m").filter("_m").drop("_m")
     else:
         pruned = li.limit(0)
@@ -477,39 +485,69 @@ def q30_json_extract(spark, sf_dir):
 
 def sk_bloom_fpr_grid(spark, sf_dir):
     """Empirical vs analytic FPR at matched m/n and k across the reference's
-    blocked/sectorized geometry grid — the BASELINE.json:2 match criterion."""
-    from sketchlib import bloom, fpr as fprmod
+    blocked/sectorized geometry grid — the BASELINE.json:2 match criterion.
+
+    Fully distributed: ALL geometries build in ONE partial-build pass over
+    the scan (one spec per geometry, OR-merged per config), and the zero-FN /
+    empirical-FPR checks probe via broadcast blobs — the driver only ever
+    sees KB-sized blobs and two counts per geometry, never the key column.
+    Includes a magic-addressing (non-power-of-two m, Lemire fastrange) row:
+    exact bits/key budget instead of rounding m up to a power of two."""
+    from sketchlib import agg, fpr as fprmod, probe as probemod
     from sketchlib.config import BloomConfig
 
     li = _t(spark, sf_dir, "lineitem")
-    keys = np.array(
-        [r["l_partkey"] for r in li.select("l_partkey").distinct().collect()], dtype=np.int64
-    )
-    n = keys.size
-    rng = np.random.default_rng(7)
-    probes = rng.integers(2**22, 2**31 - 1, 400_000, dtype=np.int64).astype(np.int32)
-    probes = probes[~np.isin(probes, keys)]
-    rows = []
+    keys_df = li.select("l_partkey").distinct().cache()
+    n = keys_df.count()
     import math
 
+    geoms = (
+        dict(word_bits=32, words_per_block=1, sectors=1, k=4),
+        dict(word_bits=64, words_per_block=8, sectors=1, k=4),
+        dict(word_bits=64, words_per_block=8, sectors=8, k=8),
+        dict(word_bits=64, words_per_block=8, sectors=8, zones=2, k=8),
+    )
+    cfgs: dict[str, tuple[BloomConfig, int]] = {}
     for bits_per_key in (8, 16):
         m = 1 << int(math.ceil(math.log2(max(n, 1) * bits_per_key)))
-        for geom in (
-            dict(word_bits=32, words_per_block=1, sectors=1, k=4),
-            dict(word_bits=64, words_per_block=8, sectors=1, k=4),
-            dict(word_bits=64, words_per_block=8, sectors=8, k=8),
-            dict(word_bits=64, words_per_block=8, sectors=8, zones=2, k=8),
-        ):
-            cfg = BloomConfig(m_bits=m, **geom)
-            blob = bloom.build(keys.astype(np.uint32), cfg)
-            fn = int((~bloom.contains_blob(keys.astype(np.uint32), blob)).sum())
-            emp = float(bloom.contains_blob(probes, blob).mean())
-            rows.append(Row(
-                geometry=f"B{cfg.block_bits}/s{cfg.sectors}/z{cfg.zones}/k{cfg.k}",
-                bits_per_key=bits_per_key, n_keys=int(n),
-                false_negatives=fn, empirical_fpr=emp,
-                analytic_fpr=float(fprmod.fpr(cfg, n)),
-            ))
+        for gi, geom in enumerate(geoms):
+            cfgs[f"g{bits_per_key}_{gi}"] = (BloomConfig(m_bits=m, **geom), bits_per_key)
+    # magic addressing: the EXACT 12 bits/key budget, whole blocks, non-pow2
+    m_exact = max(1, (n * 12) // 512) * 512
+    cfgs["g12_magic"] = (
+        BloomConfig(m_bits=m_exact, word_bits=64, words_per_block=8, sectors=8,
+                    k=8, addressing="magic"),
+        12,
+    )
+
+    specs = [agg.SketchSpec(name, cfg, "l_partkey") for name, (cfg, _) in cfgs.items()]
+    blobs = agg.collect_blobs(agg.build_sketches(li, specs))
+
+    # deterministic distributed probe set, disjoint from the key set by anti-join
+    probes = (
+        spark.range(400_000)
+        .select((F.pmod(F.xxhash64("id", F.lit(7)), F.lit(2**31 - 2**22)) + 2**22)
+                .cast("int").alias("t"))
+        .join(keys_df, F.col("t") == F.col("l_partkey"), "left_anti")
+        .cache()
+    )
+    n_probes = probes.count()
+    rows = []
+    for name, (cfg, bits_per_key) in cfgs.items():
+        blob = blobs[(name, "")]
+        fn = (
+            probemod.with_bloom_membership(keys_df, blob, "l_partkey", "_m")
+            .filter(~F.col("_m")).count()
+        )
+        fp = probemod.with_bloom_membership(probes, blob, "t", "_m").filter("_m").count()
+        rows.append(Row(
+            geometry=f"B{cfg.block_bits}/s{cfg.sectors}/z{cfg.zones}/k{cfg.k}/{cfg.addressing}",
+            bits_per_key=bits_per_key, n_keys=int(n),
+            false_negatives=int(fn), empirical_fpr=float(fp) / max(n_probes, 1),
+            analytic_fpr=float(fprmod.fpr(cfg, n)),
+        ))
+    keys_df.unpersist()
+    probes.unpersist()
     return spark.createDataFrame(rows)
 
 

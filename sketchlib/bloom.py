@@ -9,7 +9,9 @@ against the published bit-layout and FPR formulas (sketchlib.fpr).
 Layout (per key, all arithmetic vectorized over whole key arrays):
 
 1. ``h0 = mulhash(key, C0)``; block index = top ``log2(n_blocks)`` bits
-   (power-of-two addressing, reference ``block_addressing::POWER_OF_TWO``).
+   (power-of-two addressing, reference ``block_addressing::POWER_OF_TWO``) or
+   Lemire fastrange ``(h0 * n_blocks) >> 32`` (``block_addressing::MAGIC``,
+   non-power-of-two memory budgets, no division).
 2. Within the block of ``B`` bits split into ``s`` sectors: hash function
    ``i`` (``i in [0, k)``) sets one bit in sector ``i % s`` at offset
    ``top log2(B/s) bits of mulhash(key, C[1+i])`` — sectorization.
@@ -43,6 +45,29 @@ def _log2(x: int) -> int:
     return int(x).bit_length() - 1
 
 
+def _block_base32(h0: np.ndarray, cfg: BloomConfig) -> np.ndarray:
+    """First bit of each key's block, uint32. Power-of-two addressing = top
+    hash bits (A6); magic addressing = Lemire fastrange ``(h*n_blocks) >> 32``
+    (A7, reference ``block_addressing::MAGIC``) — maps the 32-bit hash onto
+    any block count without division."""
+    if cfg.addressing == "magic":
+        blk = ((h0.astype(np.uint64) * np.uint64(cfg.n_blocks)) >> np.uint64(32)).astype(np.uint32)
+    else:
+        lb = _log2(cfg.n_blocks)
+        blk = h0 >> np.uint32(32 - lb) if lb else np.zeros(h0.shape[0], np.uint32)
+    return blk * np.uint32(cfg.block_bits)
+
+
+def _block_base64(h0: np.ndarray, cfg: BloomConfig) -> np.ndarray:
+    """Same as ``_block_base32`` but uint64 (filters >= 2**31 bits)."""
+    if cfg.addressing == "magic":
+        blk = (h0.astype(np.uint64) * np.uint64(cfg.n_blocks)) >> np.uint64(32)
+    else:
+        lb = _log2(cfg.n_blocks)
+        blk = (h0 >> np.uint32(32 - lb)).astype(np.uint64) if lb else np.zeros(h0.shape[0], np.uint64)
+    return blk * np.uint64(cfg.block_bits)
+
+
 def _bit_indices(keys: np.ndarray, cfg: BloomConfig) -> np.ndarray:
     """Global bit positions, shape (k, n), for a chunk of keys.
 
@@ -57,15 +82,13 @@ def _bit_indices(keys: np.ndarray, cfg: BloomConfig) -> np.ndarray:
 def _bit_indices32(keys: np.ndarray, cfg: BloomConfig) -> np.ndarray:
     n = keys.shape[0]
     B = cfg.block_bits
-    lb_blocks = _log2(cfg.n_blocks)
     seed = cfg.hash_seed
     k, s, z = cfg.k, cfg.sectors, cfg.zones
     sector_bits = cfg.sector_bits
     lb_sector = _log2(sector_bits)
 
     h0 = mul_hash32(keys, 0, seed)
-    block_base = h0 >> np.uint32(32 - lb_blocks) if lb_blocks else np.zeros(n, np.uint32)
-    block_base = block_base * np.uint32(B)
+    block_base = _block_base32(h0, cfg)
 
     out = np.empty((k, n), dtype=np.uint32)
     if z == 1:
@@ -109,7 +132,6 @@ def _bit_rows32(keys: np.ndarray, cfg: BloomConfig):
     buffers — no (k, n) matrix). Bit-identical to ``_bit_indices32`` rows."""
     n = keys.shape[0]
     B = cfg.block_bits
-    lb_blocks = _log2(cfg.n_blocks)
     seed = cfg.hash_seed
     k, s, z = cfg.k, cfg.sectors, cfg.zones
     sector_bits = cfg.sector_bits
@@ -117,8 +139,7 @@ def _bit_rows32(keys: np.ndarray, cfg: BloomConfig):
     keys32 = keys.astype(np.uint32, copy=False)
 
     h0 = mul_hash32(keys, 0, seed)
-    block_base = h0 >> np.uint32(32 - lb_blocks) if lb_blocks else np.zeros(n, np.uint32)
-    block_base = block_base * np.uint32(B)
+    block_base = _block_base32(h0, cfg)
     row = np.empty(n, dtype=np.uint32)
 
     if z == 1:
@@ -151,15 +172,10 @@ def _bit_rows32(keys: np.ndarray, cfg: BloomConfig):
 def _bit_indices64(keys: np.ndarray, cfg: BloomConfig) -> np.ndarray:
     n = keys.shape[0]
     B = cfg.block_bits
-    lb_blocks = _log2(cfg.n_blocks)
     seed = cfg.hash_seed
 
     h0 = mul_hash32(keys, 0, seed)
-    if lb_blocks:
-        block = (h0 >> np.uint32(32 - lb_blocks)).astype(np.uint64)
-    else:
-        block = np.zeros(n, dtype=np.uint64)
-    block_base = block * np.uint64(B)
+    block_base = _block_base64(h0, cfg)
 
     z = cfg.zones
     k = cfg.k

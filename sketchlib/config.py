@@ -52,9 +52,14 @@ class BloomConfig(_Cfg):
 
     Layout follows bloomfilter-bsd / [SIGMOD19] §3:
 
-    - the filter is ``m_bits`` total (power of two), divided into blocks of
+    - the filter is ``m_bits`` total, divided into blocks of
       ``B = word_bits * words_per_block`` bits;
-    - a key selects one block (power-of-two addressing: top hash bits);
+    - a key selects one block. ``addressing="pow2"`` (default, reference
+      ``block_addressing::POWER_OF_TWO``): m_bits must be a power of two and
+      the block index is the top hash bits. ``addressing="magic"`` (reference
+      ``block_addressing::MAGIC``): any m_bits that is a whole number of
+      blocks, block index via Lemire fastrange ``(h * n_blocks) >> 32`` — no
+      division, arbitrary memory budgets;
     - the block is split into ``sectors`` equal sectors; hash function i sets
       one bit in sector ``i % sectors`` (sectorization);
     - ``zones`` > 1 picks, per key, ``zones`` word-groups inside the block and
@@ -72,11 +77,21 @@ class BloomConfig(_Cfg):
     sectors: int = 1
     zones: int = 1
     hash_seed: int = 0
+    addressing: str = "pow2"
 
     def __post_init__(self) -> None:
         B = self.block_bits
-        if not _is_pow2(self.m_bits):
-            raise SketchConfigError(f"m_bits must be a power of two, got {self.m_bits}")
+        if self.addressing not in ("pow2", "magic"):
+            raise SketchConfigError(
+                f"addressing must be 'pow2' or 'magic', got {self.addressing!r}"
+            )
+        if self.addressing == "pow2" and not _is_pow2(self.m_bits):
+            raise SketchConfigError(
+                f"m_bits must be a power of two under pow2 addressing, got {self.m_bits} "
+                "(use addressing='magic' for arbitrary sizes)"
+            )
+        if self.m_bits % B:
+            raise SketchConfigError("m_bits must be a whole number of blocks")
         if self.word_bits not in (32, 64):
             raise SketchConfigError("word_bits must be 32 or 64")
         if not _is_pow2(self.words_per_block):

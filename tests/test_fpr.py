@@ -34,6 +34,18 @@ def _grid():
                 if k % g.get("zones", 1) or k % g["sectors"]:
                     continue
                 out.append(BloomConfig(m_bits=m, k=k, **g))
+    # magic (fastrange) addressing: EXACT m/n budgets, not rounded to a power
+    # of two — the FPR formula is the same Poisson mixture, the block count
+    # just isn't 2^b. A7 in SURVEY.md §2.A.
+    for bits_per_key in (10, 16):
+        for g, k in [
+            (dict(word_bits=64, words_per_block=8, sectors=8), 8),
+            (dict(word_bits=64, words_per_block=1, sectors=1), 4),
+            (dict(word_bits=64, words_per_block=8, sectors=8, zones=2), 8),
+        ]:
+            B = 64 * g["words_per_block"]
+            m = (N_KEYS * bits_per_key // B) * B  # whole blocks, non-pow2
+            out.append(BloomConfig(m_bits=m, k=k, addressing="magic", **g))
     return out
 
 

@@ -53,8 +53,11 @@ def _scalar_bit_indices(key: int, cfg: BloomConfig) -> list[int]:
         return (x * int(MUL_CONSTANTS_32[(i + cfg.hash_seed) % len(MUL_CONSTANTS_32)])) % 2**32
 
     B = cfg.block_bits
-    lb_blocks = cfg.n_blocks.bit_length() - 1
-    block = mul32(key, 0) >> (32 - lb_blocks) if lb_blocks else 0
+    if cfg.addressing == "magic":
+        block = (mul32(key, 0) * cfg.n_blocks) >> 32  # Lemire fastrange
+    else:
+        lb_blocks = cfg.n_blocks.bit_length() - 1
+        block = mul32(key, 0) >> (32 - lb_blocks) if lb_blocks else 0
     base = block * B
     lb_sector = cfg.sector_bits.bit_length() - 1
     out = []
@@ -84,10 +87,21 @@ GRID = [
     BloomConfig(m_bits=1 << 16, k=8, word_bits=64, words_per_block=8, sectors=8),
     BloomConfig(m_bits=1 << 16, k=8, word_bits=64, words_per_block=8, sectors=8, zones=2),
     BloomConfig(m_bits=1 << 16, k=6, word_bits=32, words_per_block=16, sectors=2),
+    # magic (fastrange) addressing: non-power-of-two block counts (A7)
+    BloomConfig(m_bits=100 * 512, k=8, word_bits=64, words_per_block=8, sectors=8,
+                addressing="magic"),
+    BloomConfig(m_bits=777 * 64, k=4, word_bits=64, words_per_block=1, sectors=1,
+                addressing="magic"),
+    BloomConfig(m_bits=300 * 512, k=8, word_bits=64, words_per_block=8, sectors=8,
+                zones=2, addressing="magic"),
 ]
 
 
-@pytest.mark.parametrize("cfg", GRID, ids=lambda c: f"B{c.block_bits}s{c.sectors}z{c.zones}k{c.k}")
+@pytest.mark.parametrize(
+    "cfg", GRID,
+    ids=lambda c: f"B{c.block_bits}s{c.sectors}z{c.zones}k{c.k}" + (
+        "-magic" if c.addressing == "magic" else ""),
+)
 def test_bloom_matches_scalar_reference(cfg):
     keys = RNG.integers(0, 2**31 - 1, 500).astype(np.int32)
     bits = bloom.empty(cfg)
