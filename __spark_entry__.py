@@ -758,6 +758,45 @@ def sk_corpus_pipeline(spark, sf_dir):
     return spark.createDataFrame(sorted(rows, key=lambda r: r.source))
 
 
+def sk_cuckoo_membership(spark, sf_dir):
+    """Distributed cuckoo-filter build (reference A13 lifted to per-partition
+    partials + set-union tree merge): zero false negatives checked by a
+    distributed probe over the key set, empirical FPR vs the [FAN14] §3.1
+    bound on a disjoint probe set. Cuckoo is the delete-capable, FPR-efficient
+    peer of Bloom in the reference's performance skyline ([SIGMOD19] §4)."""
+    from sketchlib import cuckoo, probe as probemod
+    from sketchlib.cuckoo import CuckooFilter, analytic_fpr
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys_df = li.select("l_partkey").distinct().cache()
+    n = keys_df.count()
+    blob = cuckoo.build_distributed(li.select("l_partkey"), "l_partkey", n)
+    fn = (
+        probemod.with_cuckoo_membership(keys_df, blob, "l_partkey", "_m")
+        .filter(~F.col("_m")).count()
+    )
+    probes = (
+        spark.range(400_000)
+        .select((F.pmod(F.xxhash64("id", F.lit(11)), F.lit(2**31 - 2**22)) + 2**22)
+                .cast("long").alias("t"))
+        .join(keys_df, F.col("t") == F.col("l_partkey"), "left_anti")
+        .cache()
+    )
+    n_probes = probes.count()
+    fp = probemod.with_cuckoo_membership(probes, blob, "t").filter("member").count()
+    f = CuckooFilter.from_blob(blob)
+    row = Row(
+        n_keys=int(n), false_negatives=int(fn),
+        empirical_fpr=float(fp) / max(n_probes, 1),
+        analytic_fpr=float(analytic_fpr(f.cfg)),
+        load_factor=float(f.n) / f.cfg.capacity,
+        table_kb=float(f.cfg.capacity * 2) / 1024.0,
+    )
+    keys_df.unpersist()
+    probes.unpersist()
+    return spark.createDataFrame([row])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -812,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_approx_topk": sk_approx_topk,
         "sk_token_near_dups": sk_token_near_dups,
         "sk_corpus_pipeline": sk_corpus_pipeline,
+        "sk_cuckoo_membership": sk_cuckoo_membership,
     }
 
 

@@ -33,10 +33,11 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
 
-from sketchlib import arrowutil, blob as blobmod, bloom, cms, hll, kll, minhash, tdigest
+from sketchlib import arrowutil, blob as blobmod, bloom, cms, cuckoo, hll, kll, minhash, tdigest
 from sketchlib.config import (
     BloomConfig, CMSConfig, HLLConfig, KLLConfig, MinHashConfig, SketchConfigError, TDigestConfig, _Cfg,
 )
+from sketchlib.cuckoo import CuckooConfig
 
 MODULES = {
     "bloom": bloom,
@@ -45,6 +46,7 @@ MODULES = {
     "kll": kll,
     "tdigest": tdigest,
     "minhash": minhash,
+    "cuckoo": cuckoo,
 }
 
 _CFG_TO_SKETCH = {
@@ -54,6 +56,7 @@ _CFG_TO_SKETCH = {
     KLLConfig: "kll",
     TDigestConfig: "tdigest",
     MinHashConfig: "minhash",
+    CuckooConfig: "cuckoo",
 }
 
 
@@ -117,6 +120,8 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None, part_col: 
                 return cfg.m
             if isinstance(cfg, CMSConfig):
                 return cfg.depth * cfg.width * 8
+            if isinstance(cfg, CuckooConfig):
+                return cfg.capacity * 2  # uint16 tag table
             return 1 << 16  # KLL/tdigest/minhash: KBs
 
         def _get(name, module, cfg, group, pid):
@@ -140,68 +145,161 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None, part_col: 
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            # segments: (group_label, pid, row_indices-or-None)
+            n = batch.num_rows
+            # factorize rows to dense segment ids 0..S-1 over (group, part) —
+            # ONE pass per batch, shared by every column (the old per-segment
+            # arr.take + per-segment dedup made a G-group batch cost ~G times
+            # a global build; with the shared sort below it costs ~1x)
             if group_by is None and part_col is None:
-                segments = [(_GLOBAL, part_id, None)]
+                seg_of_row = None
+                seg_labels = [(_GLOBAL, part_id)]
             else:
-                n = batch.num_rows
                 if group_by is not None:
                     gcol = batch.column(group_by).to_numpy(zero_copy_only=False).astype(object)
+                    guniq, ginv = np.unique(gcol, return_inverse=True)
                 else:
-                    gcol = np.full(n, _GLOBAL, dtype=object)
+                    guniq, ginv = np.array([_GLOBAL], dtype=object), np.zeros(n, np.int64)
                 if part_col is not None:
                     pcol = batch.column(part_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                    puniq, pinv = np.unique(pcol, return_inverse=True)
                 else:
-                    pcol = np.full(n, part_id, dtype=np.int64)
-                segments = []
-                for g in np.unique(gcol):
-                    gmask = gcol == g
-                    for p in np.unique(pcol[gmask]):
-                        segments.append((str(g), int(p), np.flatnonzero(gmask & (pcol == p))))
-            # one flatten per column, one dedup per (column, segment) shared by
-            # every spec that is idempotent/weighted in the value — on Zipf
-            # token streams this collapses per-token work to per-distinct work
+                    puniq, pinv = np.array([part_id], dtype=np.int64), np.zeros(n, np.int64)
+                key = ginv.astype(np.int64) * puniq.size + pinv
+                suniq, seg_of_row = np.unique(key, return_inverse=True)
+                seg_labels = [
+                    (str(guniq[s // puniq.size]), int(puniq[s % puniq.size])) for s in suniq
+                ]
+                if len(seg_labels) == 1:
+                    seg_of_row = None
+            S = len(seg_labels)
+            rows_per_seg = (
+                np.bincount(seg_of_row, minlength=S) if seg_of_row is not None
+                else np.array([n], dtype=np.int64)
+            )
+            # one flatten per column; dedup is ONE shared packed sort per
+            # (column, batch) regardless of segment count — every spec that is
+            # idempotent/weighted in the value consumes the same uniq/counts.
+            # On Zipf token streams this collapses per-token work to
+            # per-distinct work.
             by_col: dict[str, list] = {}
             for spec in specs_rt:
                 by_col.setdefault(spec[3], []).append(spec)
             for col, col_specs in by_col.items():
                 arr = batch.column(col)
-                for gval, pid, rows_idx in segments:
-                    sub = arr if rows_idx is None else arr.take(pa.array(rows_idx))
-                    values = arrowutil.sketch_values(sub)
-                    n_rows = batch.num_rows if rows_idx is None else int(rows_idx.size)
-                    uniq = counts = None
-                    want_unique = (
-                        values.dtype.kind in "iu"
-                        and not _dedup_off.get(col, False)
-                        and any(
-                            getattr(_get(nm, m, c, gval, pid)[2], "supports_unique", False)
-                            for nm, m, c, _ in col_specs
-                        )
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                is_list = pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+                if is_list:
+                    values, starts = arrowutil.list_to_flat(arr)
+                    seg_len = np.diff(np.r_[starts, values.size])
+                    row_keep = None
+                else:
+                    # column_values drops nulls; keep row<->value alignment
+                    # for the segmented path by dropping the same rows
+                    row_keep = (
+                        ~arr.is_null().to_numpy(zero_copy_only=False)
+                        if arr.null_count else None
                     )
-                    if want_unique:
-                        vmax = int(values.max()) if values.size else 0
-                        vmin = int(values.min()) if values.size else 0
+                    values = arrowutil.column_values(arr)
+                    seg_len = None
+
+                # ensure builders exist for every (spec, segment) — also the
+                # point where the group-memory guardrail triggers
+                builders = [
+                    [_get(nm, m, c, gval, pid) for gval, pid in seg_labels]
+                    for nm, m, c, _ in col_specs
+                ]
+                want_unique = (
+                    values.dtype.kind in "iu"
+                    and not _dedup_off.get(col, False)
+                    and any(
+                        getattr(sts[0][2], "supports_unique", False) for sts in builders
+                    )
+                )
+
+                if seg_of_row is None:
+                    seg_ptr = np.array([0, values.size], dtype=np.int64)
+                    sv = values
+                    u_all = cnt_all = u_ptr = None
+                    if want_unique and values.size:
+                        vmax, vmin = int(values.max()), int(values.min())
                         if 0 <= vmin and vmax < (1 << 22):
                             # bounded domain (token ids <= vocab): O(n) histogram
-                            # beats the O(n log n) sort and stays cache-resident
+                            # beats the O(n log n) sort, stays cache-resident
                             hist = np.bincount(values, minlength=0)
-                            uniq = np.flatnonzero(hist)
-                            counts = hist[uniq]
-                            uniq = uniq.astype(values.dtype, copy=False)
+                            u_all = np.flatnonzero(hist)
+                            cnt_all = hist[u_all]
+                            u_all = u_all.astype(values.dtype, copy=False)
                         else:
-                            uniq, counts = np.unique(values, return_counts=True)
-                        if values.size and uniq.size > 0.5 * values.size:
-                            _dedup_off[col] = True  # low duplication: not worth it
-                    for name, module, cfg, _ in col_specs:
-                        st = _get(name, module, cfg, gval, pid)
-                        builder = st[2]
-                        if uniq is not None and getattr(builder, "supports_unique", False):
-                            builder.update_unique(uniq, counts)
-                            st[4] += int(values.size)
+                            u_all, cnt_all = np.unique(values, return_counts=True)
+                        u_ptr = np.array([0, u_all.size], dtype=np.int64)
+                else:
+                    if is_list:
+                        val_seg = np.repeat(seg_of_row, seg_len)
+                    elif row_keep is not None:
+                        val_seg = seg_of_row[row_keep]
+                    else:
+                        val_seg = seg_of_row
+                    vals_per_seg = np.bincount(val_seg, minlength=S).astype(np.int64)
+                    u_all = cnt_all = u_ptr = None
+                    if want_unique and values.size:
+                        vmax, vmin = int(values.max()), int(values.min())
+                        if 0 <= vmin and S * (vmax + 1) <= (1 << 24):
+                            # bounded domain: ONE histogram over the packed
+                            # (segment, value) key — O(n + S*vocab) and no
+                            # per-segment vocab-sized allocations
+                            dom = vmax + 1
+                            hist = np.bincount(val_seg * dom + values, minlength=S * dom)
+                            nz = np.flatnonzero(hist)
+                            u_all = (nz % dom).astype(values.dtype)
+                            u_seg = nz // dom
+                            cnt_all = hist[nz]
+                        elif 0 <= vmin and vmax < (1 << 32):
+                            # ONE sort of packed (segment << 32 | value)
+                            packed = np.sort(
+                                (val_seg.astype(np.uint64) << np.uint64(32))
+                                | values.astype(np.uint64)
+                            )
+                            bnd = np.flatnonzero(np.r_[True, packed[1:] != packed[:-1]])
+                            u_all = (packed[bnd] & np.uint64(0xFFFFFFFF)).astype(values.dtype)
+                            u_seg = (packed[bnd] >> np.uint64(32)).astype(np.int64)
+                            cnt_all = np.diff(np.r_[bnd, values.size])
                         else:
-                            _update(st, values)
-                        st[3] += n_rows
+                            order2 = np.lexsort((values, val_seg))
+                            v2, s2 = values[order2], val_seg[order2]
+                            bnd = np.flatnonzero(
+                                np.r_[True, (v2[1:] != v2[:-1]) | (s2[1:] != s2[:-1])]
+                            )
+                            u_all, u_seg = v2[bnd], s2[bnd]
+                            cnt_all = np.diff(np.r_[bnd, values.size])
+                        u_ptr = np.searchsorted(u_seg, np.arange(S + 1))
+                    # per-segment value slices (original order within segment)
+                    # are only materialized if some builder actually consumes
+                    # raw values — all-idempotent/weighted spec sets (e.g. a
+                    # grouped HLL build) skip the stable sort entirely
+                    need_values = u_ptr is None or any(
+                        not getattr(sts[0][2], "supports_unique", False) for sts in builders
+                    )
+                    if need_values:
+                        order = np.argsort(val_seg, kind="stable")
+                        sv = values[order]
+                    else:
+                        sv = None
+                    seg_ptr = np.r_[0, np.cumsum(vals_per_seg)].astype(np.int64)
+                if want_unique and values.size and u_all is not None:
+                    if u_all.size > 0.5 * values.size:
+                        _dedup_off[col] = True  # low duplication: not worth it
+
+                for (name, module, cfg, _), sts in zip(col_specs, builders):
+                    for s, st in enumerate(sts):
+                        lo, hi = seg_ptr[s], seg_ptr[s + 1]
+                        if u_ptr is not None and getattr(st[2], "supports_unique", False):
+                            ul, uh = u_ptr[s], u_ptr[s + 1]
+                            st[2].update_unique(u_all[ul:uh], cnt_all[ul:uh])
+                            st[4] += int(hi - lo)
+                        else:
+                            _update(st, sv[lo:hi])
+                        st[3] += int(rows_per_seg[s])
 
         t_ms = (time.perf_counter() - t0) * 1000.0
         out = {"sketch": [], "group": [], "part": [], "blob": [], "rows": [], "items": [], "t_ms": []}

@@ -22,6 +22,7 @@ SKETCH_IDS = {
     "kll": 4,
     "tdigest": 5,
     "minhash": 6,
+    "cuckoo": 7,
 }
 ID_TO_NAME = {v: k for k, v in SKETCH_IDS.items()}
 

@@ -166,10 +166,20 @@ class CuckooFilter:
         return out
 
     def merge(self, other: "CuckooFilter") -> "CuckooFilter":
-        """Union by re-inserting the other filter's tags (the reference's
-        semantics: same-config only; raises if combined load exceeds
-        capacity). NOT order-insensitive at the byte level — estimates
-        (membership) are what is preserved."""
+        """Set-union merge: re-insert the other filter's tags, SKIPPING any
+        tag already present in its bucket pair (the alternate-bucket relation
+        ``b2 = b1 ^ hash(tag)`` is an involution, so the pair is recoverable
+        from wherever a tag is stored). The skip is what makes a distributed
+        build feasible: the same key inserted on P partitions contributes ONE
+        tag after the merge tree, not P — without it, merged load would be
+        sum-of-per-partition-distinct and overflow any fixed capacity.
+
+        Consequences: membership semantics are exactly preserved (a tag is in
+        the pair iff the key set of either side contains it); multiplicity is
+        NOT — ``delete`` after a set-union merge removes the single stored
+        copy. Raises if true combined load still exceeds capacity. NOT
+        order-insensitive at the byte level — membership is what is
+        preserved (same contract as the reference's benchmark OR-merge)."""
         self.cfg.require_same(other.cfg)
         out = CuckooFilter(self.cfg)
         out.table = self.table.copy()
@@ -177,6 +187,17 @@ class CuckooFilter:
         occupied = np.flatnonzero(other.table.ravel() != _EMPTY)
         tags = other.table.ravel()[occupied]
         buckets = (occupied // self.cfg.bucket_size).astype(np.int64)
+        if tags.size:
+            # dedupe within the incoming set on the canonical bucket pair
+            alt = self._alt_bucket(buckets, tags)
+            canon = np.minimum(buckets, alt)
+            packed = (canon.astype(np.uint64) << np.uint64(16)) | tags.astype(np.uint64)
+            _, first = np.unique(packed, return_index=True)
+            tags, buckets, alt = tags[first], buckets[first], alt[first]
+            # skip tags already present in their bucket pair
+            t = tags[:, None]
+            present = ((out.table[buckets] == t) | (out.table[alt] == t)).any(axis=1)
+            tags, buckets = tags[~present], buckets[~present]
         try:
             out._insert_tags(tags, buckets)
         except SketchConfigError as e:
@@ -186,25 +207,17 @@ class CuckooFilter:
 
     # -- blob ------------------------------------------------------------------------
 
+    def to_payload(self) -> bytes:
+        head = json.dumps({"n": self.n}).encode()
+        return len(head).to_bytes(4, "little") + head + self.table.tobytes()
+
     def to_blob(self) -> bytes:
         from sketchlib import blob as blobmod
 
-        head = json.dumps({"n": self.n}).encode()
-        payload = len(head).to_bytes(4, "little") + head + self.table.tobytes()
-        # reuse the SKB1 container with a dedicated id
-        blobmod.SKETCH_IDS.setdefault("cuckoo", 7)
-        blobmod.ID_TO_NAME[7] = "cuckoo"
-        return blobmod.pack("cuckoo", self.cfg, payload)
+        return blobmod.pack("cuckoo", self.cfg, self.to_payload())
 
     @classmethod
-    def from_blob(cls, blob: bytes) -> "CuckooFilter":
-        from sketchlib import blob as blobmod
-
-        blobmod.SKETCH_IDS.setdefault("cuckoo", 7)
-        blobmod.ID_TO_NAME[7] = "cuckoo"
-        name, cfg, payload = blobmod.unpack(blob)
-        if name != "cuckoo":
-            raise SketchConfigError("not a cuckoo blob")
+    def from_payload(cls, cfg: CuckooConfig, payload: bytes) -> "CuckooFilter":
         hlen = int.from_bytes(payload[:4], "little")
         meta = json.loads(payload[4 : 4 + hlen])
         out = cls(cfg)
@@ -215,7 +228,113 @@ class CuckooFilter:
         out.n = meta["n"]
         return out
 
+    @classmethod
+    def from_blob(cls, blob: bytes) -> "CuckooFilter":
+        from sketchlib import blob as blobmod
+
+        name, cfg, payload = blobmod.unpack(blob)
+        if name != "cuckoo":
+            raise SketchConfigError("not a cuckoo blob")
+        return cls.from_payload(cfg, payload)
+
 
 def analytic_fpr(cfg: CuckooConfig) -> float:
     """~ 2 * bucket_size / 2**bits_per_tag ([FAN14] §3.1, full-ish load)."""
     return 2.0 * cfg.bucket_size / (1 << cfg.bits_per_tag)
+
+
+# ---------------------------------------------------------------------------
+# distributed build: sketchlib.agg module interface + driver-level wrapper
+# ---------------------------------------------------------------------------
+
+class CuckooBuilder:
+    """Per-partition streaming build state for ``agg.build_partials``.
+
+    Set semantics: a batch is deduplicated and keys whose membership already
+    reads true are skipped — ``contains`` is a deterministic function of the
+    table, so a key that reads present NOW reads present forever (tags are
+    never removed on the build path); skipping preserves zero false negatives
+    while keeping load at ~distinct-keys instead of ~total-rows."""
+
+    __slots__ = ("cfg", "f")
+    supports_unique = True
+
+    def __init__(self, cfg: CuckooConfig):
+        self.cfg = cfg
+        self.f = CuckooFilter(cfg)
+
+    def _insert_new(self, uniq: np.ndarray) -> None:
+        if uniq.size == 0:
+            return
+        fresh = uniq[~self.f.contains(uniq)]
+        if fresh.size:
+            self.f.insert(fresh)
+
+    def update(self, values: np.ndarray) -> None:
+        self._insert_new(np.unique(values))
+
+    def update_unique(self, uniq: np.ndarray, counts: np.ndarray) -> None:
+        self._insert_new(uniq)
+
+    def to_payload(self) -> bytes:
+        return self.f.to_payload()
+
+
+def new_builder(cfg: CuckooConfig) -> CuckooBuilder:
+    return CuckooBuilder(cfg)
+
+
+def merge_blobs(a: bytes, b: bytes) -> bytes:
+    return CuckooFilter.from_blob(a).merge(CuckooFilter.from_blob(b)).to_blob()
+
+
+def contains_blob(keys: np.ndarray, blob: bytes) -> np.ndarray:
+    return CuckooFilter.from_blob(blob).contains(keys.astype(np.uint64, copy=False))
+
+
+def suggest_cuckoo_config(n_keys: int, bits_per_tag: int = 12,
+                          bucket_size: int = 4, headroom: float = 1.25) -> CuckooConfig:
+    """Size the table so ``n_keys`` distinct keys land under ~0.95 load with
+    ``headroom`` slack ([FAN14] §5: b=4 sustains ~95% occupancy)."""
+    import math
+
+    need = max(1, int(math.ceil(n_keys * headroom / (bucket_size * 0.95))))
+    return CuckooConfig(
+        n_buckets=1 << max(4, int(math.ceil(math.log2(need)))),
+        bucket_size=bucket_size, bits_per_tag=bits_per_tag,
+    )
+
+
+def build_distributed(df, col: str, n_expected: int, bits_per_tag: int = 12,
+                      bucket_size: int = 4, max_retries: int = 2) -> bytes:
+    """Distributed cuckoo build: per-partition partials at the FINAL table
+    geometry (same config everywhere — the set-union merge needs it), tree-
+    merged by ``sketchlib.agg``. Capacity overflow during a merge is
+    probabilistic (eviction cycles near full load), so on failure the build
+    retries with a doubled table — the pre-sizing + fallback path the
+    reference leaves to its caller.
+
+    Returns the final blob (KBs–MBs; probe via ``contains_blob`` /
+    ``probe.with_cuckoo_membership``)."""
+    from sketchlib import agg  # lazy: agg imports this module
+
+    last_err: Exception | None = None
+    cfg = suggest_cuckoo_config(n_expected, bits_per_tag, bucket_size)
+    for attempt in range(max_retries + 1):
+        try:
+            final = agg.build_sketches(
+                df, [agg.SketchSpec("cuckoo", cfg, col)]
+            )
+            return agg.collect_blobs(final)[("cuckoo", "")]
+        except Exception as e:  # Py4J wraps executor-side SketchConfigError
+            if "exceeded capacity" not in str(e) and "filter full" not in str(e):
+                raise
+            last_err = e
+            cfg = CuckooConfig(
+                n_buckets=cfg.n_buckets * 2, bucket_size=cfg.bucket_size,
+                bits_per_tag=cfg.bits_per_tag, hash_seed=cfg.hash_seed,
+                max_kicks=cfg.max_kicks,
+            )
+    raise SketchConfigError(
+        f"cuckoo distributed build failed after {max_retries + 1} sizes: {last_err}"
+    )

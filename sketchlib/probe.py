@@ -19,7 +19,7 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame
 
-from sketchlib import arrowutil, blob as blobmod, bloom, cms, kll, tdigest
+from sketchlib import arrowutil, blob as blobmod, bloom, cms, cuckoo, kll, tdigest
 from sketchlib.config import SketchConfigError
 
 
@@ -66,6 +66,19 @@ def with_bloom_membership(df: DataFrame, blob: bytes, col: str, out: str = "memb
     if array_mode not in ("all", "any"):
         raise SketchConfigError("array_mode must be 'all' or 'any'")
     return _append_col_map(df, blob, col, out, bloom.contains_blob, pa.bool_(), array_mode)
+
+
+def with_cuckoo_membership(df: DataFrame, blob: bytes, col: str, out: str = "member",
+                           array_mode: str = "all") -> DataFrame:
+    """Boolean membership column against a cuckoo filter blob — zero false
+    negatives for inserted keys, FPR ~ 2*bucket_size/2^bits_per_tag
+    ([FAN14] §3.1). Same column semantics as the Bloom probe."""
+    name, _, _ = blobmod.unpack(blob)
+    if name != "cuckoo":
+        raise SketchConfigError("expected a cuckoo blob")
+    if array_mode not in ("all", "any"):
+        raise SketchConfigError("array_mode must be 'all' or 'any'")
+    return _append_col_map(df, blob, col, out, cuckoo.contains_blob, pa.bool_(), array_mode)
 
 
 def with_cms_count(df: DataFrame, blob: bytes, col: str, out: str = "est_count") -> DataFrame:

@@ -28,7 +28,6 @@ import pandas as pd
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from sketchlib import minhash as mh
 from sketchlib.config import MinHashConfig
@@ -161,7 +160,15 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash). Returns
     distinct candidate (a, b) pairs with a < b. ``bands * rows_per_band``
-    must equal the signature length."""
+    must equal the signature length.
+
+    Pathological buckets (all-identical corpora) are capped WITHOUT a global
+    sort: bucket sizes are a tiny ``groupBy(band, h).count()`` aggregate;
+    only oversized buckets are broadcast back, and their members are thinned
+    to ~``max_bucket`` by a deterministic hash sample. (The previous
+    ``row_number`` window sorted the entire banded table — num_docs x bands
+    rows — in one shuffle, the pipeline's biggest cost at corpus scale;
+    normal-sized buckets now never shuffle for the cap at all.)"""
     band_exprs = [
         F.xxhash64(
             F.lit(b), *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
@@ -174,12 +181,21 @@ def lsh_candidate_pairs(
         F.explode(F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"_b{b}").alias("h"))
                             for b in range(bands)])).alias("bh"),
     ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-    # cap pathological buckets (all-identical corpora) before the self-join
-    sized = stacked.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("band", "h").orderBy(id_col))
-    ).filter(F.col("rn") <= max_bucket)
-    a = sized.select(F.col(id_col).alias("a"), "band", "h")
-    b = sized.select(F.col(id_col).alias("b"), "band", "h")
+    oversized = (
+        stacked.groupBy("band", "h").agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+    )
+    capped = (
+        stacked.join(F.broadcast(oversized), ["band", "h"], "left_outer")
+        .filter(
+            F.col("_n").isNull()
+            | (F.pmod(F.xxhash64(id_col, "band", "h"),
+                      F.ceil(F.col("_n") / max_bucket).cast("long")) == 0)
+        )
+        .drop("_n")
+    )
+    a = capped.select(F.col(id_col).alias("a"), "band", "h")
+    b = capped.select(F.col(id_col).alias("b"), "band", "h")
     return (
         a.join(b, on=["band", "h"]).filter(F.col("a") < F.col("b"))
         .select("a", "b").distinct()
@@ -414,28 +430,78 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_tokens_ws", ws).withColumn("n_tokens_bpe_ish", bpe_ish)
 
 
+_FP_B = 1099511628211  # odd => invertible mod 2**64
+_FP_INVB = pow(_FP_B, -1, 1 << 64)
+
+
+def fingerprint_bytes_segmented(data: np.ndarray, starts: np.ndarray,
+                                lens: np.ndarray) -> np.ndarray:
+    """Per-segment Rabin-Karp polynomial fingerprint over a flat byte array:
+    ``fp = sum(byte_i * B^(len-1-i)) mod 2**64`` — identical to byte-wise
+    Horner but computed in O(total_bytes) flat vector ops.
+
+    Trick: B is odd, hence invertible mod 2**64, so
+    ``fp = (sum byte_i * B^(-i)) * B^(len-1)``; the inner sum is one
+    elementwise multiply against a cumulative inverse-power table followed by
+    ``np.add.reduceat`` per segment. No per-row Python, no dense
+    (n_docs x maxlen) matrix — one 1 MB doc in a 64k-row batch costs 1 MB,
+    not 64 GB."""
+    n = starts.size
+    out = np.zeros(n, dtype=np.uint64)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    maxlen = int(lens.max())
+    with np.errstate(over="ignore"):
+        # power tables: pw[i] = B^i, pwi[i] = B^-i (mod 2**64)
+        pw = np.empty(maxlen, dtype=np.uint64)
+        pwi = np.empty(maxlen, dtype=np.uint64)
+        pw[0] = pwi[0] = 1
+        if maxlen > 1:
+            np.multiply.accumulate(
+                np.full(maxlen - 1, _FP_B, dtype=np.uint64), out=pw[1:])
+            np.multiply.accumulate(
+                np.full(maxlen - 1, _FP_INVB, dtype=np.uint64), out=pwi[1:])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        terms = data.astype(np.uint64) * pwi[pos]
+        nonempty = lens > 0
+        safe_starts = np.minimum(starts, max(total - 1, 0))
+        sums = np.add.reduceat(terms, safe_starts)
+        # reduceat quirk: an empty segment returns the element at its start
+        # (and the start index may belong to the NEXT segment) — zero it out
+        out = np.where(nonempty, sums * pw[np.maximum(lens - 1, 0)], np.uint64(0))
+    return out
+
+
 def doc_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Rolling polynomial (Rabin-Karp-style) fingerprint over utf-8 bytes —
-    vectorized per Arrow batch via Horner's rule on a byte matrix."""
+    """Rolling polynomial (Rabin-Karp-style) fingerprint over utf-8 bytes.
+
+    The kernel reads the Arrow string buffer zero-copy (flat bytes + int64
+    offsets — no per-row ``encode`` and no length-padded matrix) and runs
+    ``fingerprint_bytes_segmented`` over it, so cost is O(total bytes) and
+    independent of the longest document in the batch."""
+    import pyarrow.compute as pc
+
     in_type = df.schema[id_col].dataType.simpleString()
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        B = np.uint64(1099511628211)
         for batch in batches:
-            texts = batch.column(text_col).to_pandas().fillna("")
-            out = np.zeros(len(texts), dtype=np.uint64)
-            enc = [t.encode("utf-8") for t in texts]
-            lens = np.array([len(e) for e in enc], dtype=np.int64)
-            maxlen = int(lens.max()) if len(enc) else 0
-            if maxlen:
-                mat = np.zeros((len(enc), maxlen), dtype=np.uint64)
-                for i, e in enumerate(enc):
-                    mat[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
-                with np.errstate(over="ignore"):
-                    for j in range(maxlen):  # Horner over columns (vector per step)
-                        active = j < lens  # shorter docs stop early, so the
-                        # fingerprint is a pure function of the text alone
-                        out = np.where(active, out * B + mat[:, j], out)
+            arr = batch.column(text_col)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            arr = pc.coalesce(arr, "")
+            # large_binary => int64 offsets into one flat byte buffer
+            barr = arr.cast(pa.large_binary())
+            n = len(barr)
+            bufs = barr.buffers()
+            offs = np.frombuffer(bufs[1], dtype=np.int64)[barr.offset: barr.offset + n + 1]
+            if bufs[2] is not None and offs[-1] > offs[0]:
+                data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0]: offs[-1]]
+            else:
+                data = np.empty(0, dtype=np.uint8)
+            starts = (offs[:-1] - offs[0]).astype(np.int64)
+            lens = np.diff(offs).astype(np.int64)
+            out = fingerprint_bytes_segmented(data, starts, lens)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(id_col), pa.array(out.view(np.int64))],
                 names=[id_col, "fingerprint"],

@@ -71,3 +71,60 @@ def test_merge_capacity_exceeded_raises():
     fb.insert(np.arange(1000, 1150, dtype=np.int64))
     with pytest.raises(SketchConfigError):
         fa.merge(fb)  # 300 tags into capacity 256
+
+
+def test_merge_is_set_union_not_multiset():
+    """Overlapping key sets must not inflate load: the same key inserted on
+    both sides contributes ONE tag after the merge — the property that makes
+    the distributed build feasible (P partitions seeing the same Zipf head
+    would otherwise overflow any fixed capacity)."""
+    cfg = CuckooConfig(n_buckets=1 << 12, bucket_size=4, bits_per_tag=12)
+    keys = np.arange(10_000, dtype=np.int64)
+    fa, fb = CuckooFilter(cfg), CuckooFilter(cfg)
+    fa.insert(keys)
+    fb.insert(keys)  # identical key set, ~61% load each
+    merged = fa.merge(fb)  # multiset semantics would need 122% load -> raise
+    assert merged.contains(keys).all()
+    occupied = int((merged.table != 0).sum())
+    assert occupied <= int((fa.table != 0).sum()) + 50  # only tag-collision slack
+
+
+def test_distributed_build_zero_fn_and_fpr(spark):
+    """Distributed build over duplicated keys spread across partitions:
+    zero FN on the key set, FPR within the [FAN14] bound, and final load ~
+    distinct keys (set semantics survived partials + merge tree)."""
+    from pyspark.sql import functions as F
+    from sketchlib import cuckoo
+
+    n_distinct = 50_000
+    # id % n guarantees every key is actually present (a hash-mod draw would
+    # miss ~n*e^(-rows/n) values by coupon-collector and fake FNs)
+    df = (spark.range(400_000)
+          .select((F.col("id") % n_distinct).alias("t"))
+          .repartition(8))
+    blob = cuckoo.build_distributed(df, "t", n_distinct)
+    f = CuckooFilter.from_blob(blob)
+    keys = np.arange(n_distinct, dtype=np.uint64)
+    assert f.contains(keys).all(), "false negatives after distributed build"
+    probes = np.arange(10**7, 10**7 + 300_000, dtype=np.uint64)
+    emp = float(f.contains(probes).mean())
+    assert emp <= analytic_fpr(f.cfg) * 1.3
+    # load tracks distinct keys, not the 400k input rows
+    assert f.n <= n_distinct * 1.01
+
+
+def test_distributed_build_retries_on_capacity(spark):
+    """Understated n_expected sizes the table too small; the build must fall
+    back to a doubled table and succeed (pre-size + rebuild-at-2x path)."""
+    from pyspark.sql import functions as F
+    from sketchlib import cuckoo
+
+    n_distinct = 10_000
+    df = (spark.range(40_000)
+          .select((F.col("id") % n_distinct).alias("t"))
+          .repartition(4))
+    blob = cuckoo.build_distributed(df, "t", 6_000)  # capacity 8192 < 10k distinct
+    f = CuckooFilter.from_blob(blob)
+    assert f.cfg.capacity >= n_distinct  # doubled at least once
+    keys = np.arange(n_distinct, dtype=np.uint64)
+    assert f.contains(keys).all()

@@ -107,6 +107,70 @@ def test_fingerprints_distinct_and_deterministic(docs):
     assert fp1[0] != fp1[101]
 
 
+def test_lsh_bucket_cap_without_window_sort(spark):
+    """Degenerate buckets (all-identical corpus) must be capped WITHOUT a
+    Window over the full banded table: the plan may not contain a Window
+    node, and the pair count must stay far below the uncapped quadratic."""
+    rows = [Row(doc_id=i, text="identical text repeated for the bucket cap test case")
+            for i in range(300)]
+    rows += [Row(doc_id=1000 + i,
+                 text=f"unique document number {i} alpha beta gamma {i * 7} delta")
+             for i in range(20)]
+    df = spark.createDataFrame(rows).repartition(4)
+    sigs = textops.minhash_signatures(df, num_perm=64)
+    cands = textops.lsh_candidate_pairs(sigs, bands=16, rows_per_band=4, max_bucket=20)
+
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = cands._jdf.queryExecution().explainString(mode)
+    assert "Window" not in plan, "bucket cap reintroduced a window sort"
+
+    n = cands.count()
+    # uncapped: C(300,2) = 44_850 pairs from the identical bucket alone;
+    # capped: ~C(20,2) per band, partially overlapping across 16 bands
+    assert 0 < n < 10_000, n
+
+
+def _horner_reference(text: str) -> int:
+    """Trivially-correct byte-wise Horner — the kernel's contract."""
+    h = 0
+    for b in text.encode("utf-8"):
+        h = (h * 1099511628211 + b) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def test_fingerprint_kernel_matches_horner_and_handles_megabyte_doc():
+    """The vectorized kernel must equal byte-wise Horner exactly, and one
+    1 MB doc in a 10k-doc batch must not blow up memory/time (the old dense
+    (n_docs x maxlen) formulation allocated n_docs*maxlen uint64 = 80 GB on
+    this shape)."""
+    import time
+
+    rng = np.random.default_rng(3)
+    texts = ["".join(chr(97 + c) for c in rng.integers(0, 26, int(l)))
+             for l in rng.integers(0, 200, 9_999)]
+    big = "".join(chr(97 + c) for c in rng.integers(0, 26, 1_000_000))
+    texts.append(big)
+
+    enc = [t.encode("utf-8") for t in texts]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+    data = np.frombuffer(b"".join(enc), dtype=np.uint8)
+
+    t0 = time.perf_counter()
+    got = textops.fingerprint_bytes_segmented(data, starts, lens)
+    dt = time.perf_counter() - t0
+    # spot-check against the scalar contract: first/last/empty/megabyte docs
+    for i in [0, 1, 2, 5_000, 9_998, 9_999]:
+        assert int(got[i]) == _horner_reference(texts[i]), f"doc {i}"
+    empty_idx = int(np.flatnonzero(lens == 0)[0]) if (lens == 0).any() else None
+    if empty_idx is not None:
+        assert int(got[empty_idx]) == 0
+    # O(total_bytes) kernel: ~3 MB of work must be far under a second even on
+    # a noisy host (the dense-matrix version could not even allocate)
+    assert dt < 5.0, f"kernel took {dt:.2f}s on 10k docs + 1MB doc"
+
+
 # ---------- similarity search ---------------------------------------------------
 
 @pytest.fixture(scope="module")
