@@ -117,7 +117,10 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None, part_col: 
             if isinstance(cfg, BloomConfig):
                 return cfg.m_bits if cfg.m_bits <= (1 << 28) else cfg.n_bytes
             if isinstance(cfg, HLLConfig):
-                return cfg.m
+                # builders start sparse and densify only at m/8 distinct
+                # registers, so the typical grouped builder stays KBs; charge
+                # the sparse cap rather than the dense worst case
+                return max(cfg.m // 8, 1 << 12)
             if isinstance(cfg, CMSConfig):
                 return cfg.depth * cfg.width * 8
             if isinstance(cfg, CuckooConfig):

@@ -207,8 +207,39 @@ def test_blob_roundtrip_and_bad_blob():
     cfg = HLLConfig(p=6)
     b = hll.build_blob(np.arange(100, dtype=np.int64), cfg)
     name, cfg2, payload = blobmod.unpack(b)
-    assert name == "hll" and cfg2 == cfg and len(payload) == 64
+    # mode byte (0 = dense) + 2^p registers
+    assert name == "hll" and cfg2 == cfg and payload[0] == 0 and len(payload) == 1 + 64
     with pytest.raises(SketchConfigError):
         blobmod.unpack(b"XXXX" + b[4:])
     with pytest.raises(SketchConfigError):
         bloom.contains_blob(np.arange(3, dtype=np.int32), b)  # wrong sketch kind
+
+
+def test_hll_sparse_dense_parity_and_merge_modes():
+    """Sparse (low-cardinality) HLL payloads must estimate identically to the
+    dense register computation, merge correctly with dense ones in either
+    order (byte-identical), and the payload mode must be a pure function of
+    register content."""
+    cfg = HLLConfig(p=14)
+    small = np.arange(500, dtype=np.int64)
+    big = np.arange(50_000, dtype=np.int64)
+    bs = hll.build_blob(small, cfg)
+    bb = hll.build_blob(big, cfg)
+    assert blobmod.unpack(bs)[2][0] == 1  # sparse
+    assert blobmod.unpack(bb)[2][0] == 0  # dense
+
+    regs = hll.empty(cfg)
+    hll.insert(regs, small, cfg)
+    assert hll.estimate_registers(regs, cfg.p) == hll.estimate_blob(bs)
+
+    m1 = hll.merge_blobs(bs, bb)
+    m2 = hll.merge_blobs(bb, bs)
+    assert m1 == m2  # byte-identical regardless of operand order/mode
+
+    other = np.arange(9_000, 9_500, dtype=np.int64)
+    mm = hll.merge_blobs(bs, hll.build_blob(other, cfg))
+    assert blobmod.unpack(mm)[2][0] == 1  # still sparse: union is small
+    regs2 = hll.empty(cfg)
+    hll.insert(regs2, np.r_[small, other], cfg)
+    assert hll.estimate_registers(regs2, cfg.p) == hll.estimate_blob(mm)
+    assert np.array_equal(hll.decode_registers(blobmod.unpack(mm)[2], cfg.p), regs2)

@@ -188,3 +188,28 @@ def test_empty_input_and_empty_partitions(spark):
     exact = small.select(F.explode("tokens").alias("t")).agg(
         F.countDistinct("t").alias("d")).collect()[0]["d"]
     assert abs(hll.estimate_blob(blob) - exact) / exact < 0.15
+
+
+def test_hll_sparse_high_cardinality_grouped_build(spark):
+    """20k groups at p=18: dense builders would hold 256 KB of registers per
+    group (~5 GB total — past the 4 GiB group-memory guardrail); the sparse
+    representation keeps small groups at KBs, so the build must pass and
+    estimate correctly."""
+    df = (
+        spark.range(60_000)
+        .select((F.col("id") % 20_000).cast("string").alias("g"),
+                F.col("id").alias("v"))
+        .repartition(8)
+    )
+    final = agg.build_sketches(
+        df, [agg.SketchSpec("h", HLLConfig(p=18), "v")], group_by="g"
+    )
+    rows = final.collect()
+    assert len(rows) == 20_000
+    import random
+
+    random.seed(1)
+    for r in random.sample(rows, 25):
+        est = hll.estimate_blob(bytes(r["blob"]))
+        assert abs(est - 3.0) < 0.5, (r["group"], est)  # 3 distinct values/group
+        assert len(r["blob"]) < 200  # sparse blob, not 2^18 registers
