@@ -492,7 +492,14 @@ def sk_bloom_fpr_grid(spark, sf_dir):
     empirical-FPR checks probe via broadcast blobs — the driver only ever
     sees KB-sized blobs and two counts per geometry, never the key column.
     Includes a magic-addressing (non-power-of-two m, Lemire fastrange) row:
-    exact bits/key budget instead of rounding m up to a power of two."""
+    exact bits/key budget instead of rounding m up to a power of two.
+
+    Reading note: l_partkey is a DENSE sequential key set, and multiplicative
+    hashing spreads arithmetic progressions more evenly than random (the
+    Fibonacci-hashing property), so block loads have LESS variance than the
+    Poisson mixture assumes — empirical FPR runs somewhat below analytic at
+    small n. T2 (tests/test_fpr.py) checks the formula contract on random
+    keys at 120k scale, where empirical matches analytic within the CI."""
     from sketchlib import agg, fpr as fprmod, probe as probemod
     from sketchlib.config import BloomConfig
 

@@ -22,12 +22,39 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-    # this sandbox shares its 32 cores with bursty external tenants (loadavg
-    # spikes to 10+ with zero local processes); give the measurement a fair
-    # start by waiting briefly for a quiet window (bounded, best-effort)
+    import numpy as np
+
+    # --- noise instrumentation -------------------------------------------------
+    # This sandbox shares its 32 cores with bursty external tenants (loadavg
+    # 6-13 with zero local processes; identical builds have measured 4M and
+    # 37M tokens/s minutes apart). Two defenses:
+    # 1. a bounded launch gate on loadavg;
+    # 2. a CALIBRATION SPIN — a fixed single-core NumPy sort timed before and
+    #    after every query. loadavg decays over a minute and counts our own
+    #    executors, but the spin directly measures how much CPU an external
+    #    tenant is stealing *right now*. A query whose after-spin is slow ran
+    #    in a contaminated window and is retried once (min kept).
+    _calib = np.random.default_rng(0).integers(0, 1 << 30, 1_500_000, dtype=np.int64)
+
+    def spin_ms() -> float:
+        t0 = time.perf_counter()
+        np.sort(_calib)
+        return (time.perf_counter() - t0) * 1000.0
+
     t_wait = time.time()
-    while time.time() - t_wait < 120 and os.getloadavg()[0] > 2.0:
+    while time.time() - t_wait < 180 and os.getloadavg()[0] > 2.5:
         time.sleep(5)
+    calib_ref = min(spin_ms() for _ in range(7))
+
+    def wait_for_quiet_spin(max_s: float = 90.0) -> float:
+        t0 = time.time()
+        while time.time() - t0 < max_s:
+            s = spin_ms()
+            if s < 1.6 * calib_ref:
+                return s
+            time.sleep(3)
+        return spin_ms()
+
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
 
@@ -51,8 +78,6 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    import numpy as np
-
     from sketchlib import agg, datagen, probe
     from sketchlib.config import (
         BloomConfig, CMSConfig, HLLConfig, KLLConfig, TDigestConfig,
@@ -74,13 +99,30 @@ def main() -> None:
     ]
 
     queries: dict[str, float] = {}
-    extra: dict[str, float] = {}
+    query_noise: dict[str, dict] = {}
+    extra: dict = {}
 
-    def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        queries[name] = round(time.perf_counter() - t0, 3)
-        return out
+    def timed(name: str, fn, retries: int = 1):
+        best_dt, best_out, best_meta = None, None, None
+        for attempt in range(retries + 1):
+            pre = wait_for_quiet_spin()
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            post = spin_ms()
+            meta = {
+                "spin_pre": round(pre / calib_ref, 2),
+                "spin_post": round(post / calib_ref, 2),
+                "attempts": attempt + 1,
+            }
+            if best_dt is None or dt < best_dt:
+                best_dt, best_out, best_meta = dt, out, meta
+            if post < 1.6 * calib_ref:
+                break  # clean window: trust this measurement
+        best_meta["attempts"] = attempt + 1
+        queries[name] = round(best_dt, 3)
+        query_noise[name] = best_meta
+        return best_out
 
     # headline: full five-sketch distributed build (scan + partials + merge)
     blobs = timed(
@@ -125,6 +167,21 @@ def main() -> None:
     timed("q_minhash_near_dups", lambda: entrymod.sk_minhash_near_dups(spark, sf_dir).count())
     timed("q_ann_cosine_topk", lambda: entrymod.sk_ann_cosine_topk(spark, sf_dir).collect())
 
+    # measured per-geometry probe costs (ns/key, min-of-reps) — the live
+    # input for advisor.suggest_config_cost's performance-optimal selection
+    from sketchlib import advisor
+
+    probe_ns = {}
+    for label, geom, k in (
+        ("reg64_k4", dict(word_bits=64, words_per_block=1, sectors=1), 4),
+        ("cl512_k4", dict(word_bits=64, words_per_block=8, sectors=1), 4),
+        ("cl512s8_k8", dict(word_bits=64, words_per_block=8, sectors=8), 8),
+        ("cl512s8z2_k8", dict(word_bits=64, words_per_block=8, sectors=8, zones=2), 8),
+    ):
+        cfg = BloomConfig(m_bits=1 << 21, k=k, **geom)
+        probe_ns[label] = round(advisor.measure_probe_ns(cfg, reps=3), 1)
+    extra["probe_ns_per_key"] = probe_ns
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "sketchlib headline (5-sketch distributed build + probe + exact/dedup/ANN)",
@@ -133,6 +190,9 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "cpus": cpus,
+        "query_noise": query_noise,
+        "calib_spin_ms": round(calib_ref, 2),
+        "loadavg_at_exit": round(os.getloadavg()[0], 2),
         **extra,
     }))
     spark.stop()

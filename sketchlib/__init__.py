@@ -29,8 +29,9 @@ from sketchlib.config import (
     SketchConfigError,
     TDigestConfig,
 )
+from sketchlib.cuckoo import CuckooConfig
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "BloomConfig",
@@ -39,6 +40,7 @@ __all__ = [
     "KLLConfig",
     "TDigestConfig",
     "MinHashConfig",
+    "CuckooConfig",
     "SketchConfigError",
     "__version__",
 ]
