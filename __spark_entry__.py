@@ -765,6 +765,33 @@ def sk_corpus_pipeline(spark, sf_dir):
     return spark.createDataFrame(sorted(rows, key=lambda r: r.source))
 
 
+def sk_advisor_skyline(spark, sf_dir):
+    """Performance-optimal filter selection (reference A16 / [SIGMOD19] §5):
+    for the lineitem partkey cardinality, sweep the work-saved-per-pruned-
+    element parameter t_w and report the chosen geometry, its probe cost and
+    analytic FPR, and the total expected cost per probe. Demonstrates the
+    skyline behavior: cheap/leaky filters win at small t_w, tight ones at
+    large t_w."""
+    from sketchlib import advisor, fpr as fprmod
+
+    li = _t(spark, sf_dir, "lineitem")
+    n = li.select("l_partkey").distinct().count()
+    rows = []
+    for t_w_ns in (0.0, 50.0, 500.0, 5_000.0, 50_000.0, 5e6):
+        cfg = advisor.suggest_config_cost(n, t_w_ns)
+        p_ns = advisor._model_probe_ns(cfg)
+        f = fprmod.fpr(cfg, n)
+        rows.append(Row(
+            t_w_ns=float(t_w_ns),
+            geometry=f"B{cfg.block_bits}/s{cfg.sectors}/z{cfg.zones}/k{cfg.k}",
+            m_bits=int(cfg.m_bits),
+            probe_ns=float(round(p_ns, 1)),
+            analytic_fpr=float(f),
+            cost_ns=float(round(p_ns + f * t_w_ns, 2)),
+        ))
+    return spark.createDataFrame(rows)
+
+
 def sk_cuckoo_membership(spark, sf_dir):
     """Distributed cuckoo-filter build (reference A13 lifted to per-partition
     partials + set-union tree merge): zero false negatives checked by a
@@ -859,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_token_near_dups": sk_token_near_dups,
         "sk_corpus_pipeline": sk_corpus_pipeline,
         "sk_cuckoo_membership": sk_cuckoo_membership,
+        "sk_advisor_skyline": sk_advisor_skyline,
     }
 
 

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Opportunistic scaling-pair hunter.
+
+The host's external tenants run in multi-minute bursts with idle gaps; a
+fixed schedule of N/4N runs usually lands in a burst. This hunter inverts
+the schedule: it polls the N-process calibration probe, and the moment the
+host reads quiet it fires ONE N run + ONE 4N run back-to-back (small leg
+first — shortest exposure), appending every sample with its cleanliness
+telemetry to BENCH/scaling_runs.jsonl. It keeps hunting until it has
+``target_pairs`` pairs where both legs were clean, or the time budget ends;
+BENCH/BASELINE.md is (re)written from all accumulated samples whenever a
+clean pair exists, and at the end either way.
+
+Usage: python bench/hunt_scaling.py [n_docs] [n_small] [budget_s] [target_pairs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import run_scaling as rs  # noqa: E402
+
+JSONL = os.path.join(rs.REPO, "BENCH", "scaling_runs.jsonl")
+
+
+def _append(rec: dict) -> None:
+    os.makedirs(os.path.dirname(JSONL), exist_ok=True)
+    with open(JSONL, "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+
+
+def _load() -> tuple[list[dict], list[dict]]:
+    runs_n, runs_4n = [], []
+    if os.path.exists(JSONL):
+        with open(JSONL) as fh:
+            for line in fh:
+                r = json.loads(line)
+                (runs_n if r.get("_level") == "n" else runs_4n).append(r)
+    return runs_n, runs_4n
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    budget_s = int(sys.argv[3]) if len(sys.argv) > 3 else 7200
+    target_pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    n_big = 4 * n_small
+    zpath = rs.make_zip()
+    calib_ref = min(rs.spin_ms() for _ in range(7))
+    deadline = time.time() + budget_s
+
+    runs_n, runs_4n = _load()
+
+    def clean_pairs() -> int:
+        return min(sum(r["clean"] for r in runs_n), sum(r["clean"] for r in runs_4n))
+
+    while time.time() < deadline and clean_pairs() < target_pairs:
+        s = rs.spin_ms_parallel(n_big)
+        if s > rs._clean_ratio(n_big) * calib_ref:
+            time.sleep(20)
+            continue
+        # quiet RIGHT NOW — fire the pair (run_one re-gates internally, which
+        # is instant when still quiet)
+        try:
+            r = rs.run_one(f"local[{n_small}]", zpath, n_docs, calib_ref, n_big)
+            r["_level"] = "n"
+            runs_n.append(r)
+            _append(r)
+            r = rs.run_one(f"local[{n_big}]", zpath, n_docs, calib_ref, n_big)
+            r["_level"] = "4n"
+            runs_4n.append(r)
+            _append(r)
+        except Exception as e:  # noqa: BLE001 — keep hunting through sporadic failures
+            _append({"_level": "error", "error": str(e)[:500]})
+            time.sleep(30)
+            continue
+        if runs_n and runs_4n and clean_pairs() >= 1:
+            rs.write_baseline_md(runs_n, runs_4n, n_small, n_big)
+        sys.stderr.write(
+            f"pairs so far: n={len(runs_n)} 4n={len(runs_4n)} clean={clean_pairs()}\n"
+        )
+    if runs_n and runs_4n:
+        rs.write_baseline_md(runs_n, runs_4n, n_small, n_big)
+
+
+if __name__ == "__main__":
+    main()

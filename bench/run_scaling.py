@@ -5,13 +5,22 @@ throughputs + scaling efficiency.
 
 Noise protocol: this sandbox shares its 32 cores with external tenants whose
 bursts last minutes and are invisible except through stolen CPU (loadavg
-6-20 with zero local processes). Every run is therefore bracketed by a
-CALIBRATION SPIN — a fixed single-core NumPy sort timed against the session
-minimum. A run only counts as CLEAN if the spin is quiet immediately before
-launch and immediately after completion; the harness keeps sampling
-(interleaved N / 4N so both levels see the same noise windows) until each
-level has a clean run or the round budget is exhausted. Efficiency is
-computed from best CLEAN runs; contaminated samples are listed, not used.
+6-20 with zero local processes). A single-threaded calibration spin is BLIND
+to partial occupancy (a tenant eating 16 of 32 cores leaves one spin thread
+at full speed while halving a local[16] run), so cleanliness is established
+three ways per run:
+
+1. pre-gate: an N-THREAD spin (N = the bigger parallelism) must run at
+   single-thread speed per thread — i.e. N cores are simultaneously free;
+2. mid-run: the parent samples loadavg every 2 s while spark-submit runs and
+   estimates tenant load as max(0, loadavg - our_cores); the measured window
+   is clean only if that estimate stays low;
+3. post: a single spin confirms the host did not degrade at the end.
+
+The harness keeps sampling (interleaved N / 4N so both levels see the same
+noise windows) until each level has a clean run or the round budget is
+exhausted. Efficiency is computed from best CLEAN runs; contaminated samples
+are listed, not used.
 """
 
 from __future__ import annotations
@@ -20,6 +29,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 import zipfile
 
@@ -27,13 +37,48 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_CALIB = np.random.default_rng(0).integers(0, 1 << 30, 1_500_000, dtype=np.int64)
+# cache-resident per-worker workload (800 KB x 40 sorts ~ 45 ms) so the
+# parallel probe measures FREE CORES, not memory bandwidth or GIL
+# serialization (threads are useless here: small NumPy calls serialize on
+# the GIL and fake contention — PROCESSES are the honest probe).
+_CALIB = np.random.default_rng(0).integers(0, 1 << 30, 100_000, dtype=np.int64)
+_REPS = 40
+
+
+def _spin_worker(_i: int) -> float:
+    a = _CALIB.copy()
+    t0 = time.perf_counter()
+    for _ in range(_REPS):
+        np.sort(a)
+    return (time.perf_counter() - t0) * 1000.0
 
 
 def spin_ms() -> float:
-    t0 = time.perf_counter()
-    np.sort(_CALIB)
-    return (time.perf_counter() - t0) * 1000.0
+    return _spin_worker(0)
+
+
+def spin_ms_parallel(n_procs: int) -> float:
+    """Worst per-process time of n_procs concurrent spins. Idle-host
+    calibration on this VM (2026-08-16, loadavg 0.3): n=4 -> 1.33x the
+    single-process time, n=16 -> 1.90x, n=32 -> 2.53x — that residual is
+    all-core turbo-frequency drop, the floor any real N-core run pays. A
+    tenant holding cores pushes the ratio far above those floors; that is
+    what the gate detects (a single-thread spin is blind to partial
+    occupancy)."""
+    from multiprocessing import get_context
+
+    with get_context("fork").Pool(n_procs) as pool:
+        return max(pool.map(_spin_worker, range(n_procs)))
+
+
+def _clean_ratio(n_procs: int) -> float:
+    """Idle-floor threshold for n concurrent cores, from the calibration
+    above plus slop."""
+    if n_procs <= 4:
+        return 1.8
+    if n_procs <= 16:
+        return 2.4
+    return 3.1
 
 
 def make_zip() -> str:
@@ -47,18 +92,21 @@ def make_zip() -> str:
     return zpath
 
 
-def wait_quiet(calib_ref: float, ratio: float = 1.3, max_wait_s: int = 420) -> float:
-    """Block until the calibration spin says the host is quiet (bounded)."""
+def wait_n_cores_free(n: int, calib_ref: float, max_wait_s: int = 900) -> float:
+    """Block until n cores are simultaneously free (bounded), judged against
+    the idle-floor ratio for n concurrent processes."""
     t0 = time.time()
-    s = spin_ms()
-    while time.time() - t0 < max_wait_s and s > ratio * calib_ref:
-        time.sleep(8)
-        s = spin_ms()
+    s = spin_ms_parallel(n)
+    while time.time() - t0 < max_wait_s and s > _clean_ratio(n) * calib_ref:
+        time.sleep(10)
+        s = spin_ms_parallel(n)
     return s
 
 
-def run_one(master: str, zpath: str, n_docs: int, calib_ref: float) -> dict:
-    pre = wait_quiet(calib_ref)
+def run_one(master: str, zpath: str, n_docs: int, calib_ref: float,
+            gate_cores: int) -> dict:
+    cores = int(master.split("[")[1].rstrip("]"))
+    pre = wait_n_cores_free(gate_cores, calib_ref)
     cmd = [
         "spark-submit",
         "--master", master,
@@ -68,7 +116,39 @@ def run_one(master: str, zpath: str, n_docs: int, calib_ref: float) -> dict:
         "--master", master,
         "--n-docs", str(n_docs),
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    # sample /proc/stat while the child runs: INSTANTANEOUS busy-core count
+    # per 2 s interval (1-min loadavg is an EMA — a tenant burst inside a
+    # 60 s run barely moves it). During our measured phase we occupy at most
+    # `cores`; busy beyond cores + slop = an external tenant. Steal% catches
+    # hypervisor-level theft the guest scheduler can't see.
+    def _cpu_times() -> list[int]:
+        with open("/proc/stat") as fh:
+            return list(map(int, fh.readline().split()[1:9]))
+
+    excess_max = [0.0]
+    steal_max = [0.0]
+    done = threading.Event()
+
+    def sampler() -> None:
+        prev = _cpu_times()
+        while not done.wait(2.0):
+            cur = _cpu_times()
+            d = [y - x for x, y in zip(prev, cur)]
+            prev = cur
+            tot = sum(d)
+            if tot <= 0:
+                continue
+            busy_cores = (tot - d[3] - d[4]) / tot * os.cpu_count()
+            excess_max[0] = max(excess_max[0], busy_cores - cores)
+            steal_max[0] = max(steal_max[0], 100.0 * d[7] / tot)
+
+    smp = threading.Thread(target=sampler)
+    smp.start()
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    finally:
+        done.set()
+        smp.join()
     post = spin_ms()
     for line in out.stdout.splitlines():
         line = line.strip()
@@ -76,7 +156,14 @@ def run_one(master: str, zpath: str, n_docs: int, calib_ref: float) -> dict:
             r = json.loads(line)
             r["spin_pre"] = round(pre / calib_ref, 2)
             r["spin_post"] = round(post / calib_ref, 2)
-            r["clean"] = pre < 1.5 * calib_ref and post < 1.5 * calib_ref
+            r["tenant_cores_max"] = round(excess_max[0], 1)
+            r["steal_pct_max"] = round(steal_max[0], 1)
+            r["clean"] = (
+                pre < _clean_ratio(gate_cores) * calib_ref
+                and post < 1.5 * calib_ref  # post is a single-process spin
+                and excess_max[0] < 2.5
+                and steal_max[0] < 5.0
+            )
             return r
     sys.stderr.write(out.stdout[-3000:] + "\n" + out.stderr[-3000:])
     raise RuntimeError(f"no result line from {master}")
@@ -96,24 +183,32 @@ def main() -> None:
     runs_n: list[dict] = []
     runs_4n: list[dict] = []
     for rnd in range(max_rounds):
-        runs_n.append(run_one(f"local[{n_small}]", zpath, n_docs, calib_ref))
-        runs_4n.append(run_one(f"local[{n_big}]", zpath, n_docs, calib_ref))
+        # both levels gate on the BIG level's core count so they measure
+        # under the same free-core conditions
+        runs_n.append(run_one(f"local[{n_small}]", zpath, n_docs, calib_ref, n_big))
+        runs_4n.append(run_one(f"local[{n_big}]", zpath, n_docs, calib_ref, n_big))
         have_clean = any(r["clean"] for r in runs_n) and any(r["clean"] for r in runs_4n)
         if rnd + 1 >= min_rounds and have_clean:
             break
 
-    def best(runs: list[dict]) -> tuple[dict, bool]:
-        clean = [r for r in runs if r["clean"]]
-        pool = clean or runs
-        b = max(pool, key=lambda r: r["tokens_per_sec"])
-        b["all_runs"] = [
-            {"tokens_per_sec": r["tokens_per_sec"], "clean": r["clean"],
-             "spin_pre": r["spin_pre"], "spin_post": r["spin_post"]}
-            for r in runs
-        ]
-        return b, bool(clean)
+    write_baseline_md(runs_n, runs_4n, n_small, n_big)
 
-    (r_n, n_clean), (r_4n, b_clean) = best(runs_n), best(runs_4n)
+
+def _best(runs: list[dict]) -> tuple[dict, bool]:
+    clean = [r for r in runs if r["clean"]]
+    pool = clean or runs
+    b = dict(max(pool, key=lambda r: r["tokens_per_sec"]))
+    b["all_runs"] = [
+        {"tokens_per_sec": r["tokens_per_sec"], "clean": r["clean"],
+         "spin_pre": r["spin_pre"], "spin_post": r["spin_post"]}
+        for r in runs
+    ]
+    return b, bool(clean)
+
+
+def write_baseline_md(runs_n: list[dict], runs_4n: list[dict],
+                      n_small: int, n_big: int) -> str:
+    (r_n, n_clean), (r_4n, b_clean) = _best(runs_n), _best(runs_4n)
     t_n, t_4n = r_n["tokens_per_sec"], r_4n["tokens_per_sec"]
     eff = (t_4n / t_n) / 4.0
     trust = "both levels measured in CLEAN windows" if (n_clean and b_clean) else (
@@ -133,11 +228,15 @@ parallelism levels (the in-sandbox stand-in for N vs 4N executors, per
 driver instruction). Warm-up build excluded; measured run is
 scan -> mapInArrow partials -> tree merge -> collect.
 
-Noise protocol: every run is bracketed by a calibration spin (fixed
-single-core NumPy sort vs the session minimum); a run is CLEAN iff the spin
-is quiet immediately before launch and after completion. Efficiency uses the
-best CLEAN run per level; contaminated samples are listed for honesty.
-{trust}.
+Noise protocol: each run is gated on an N-PROCESS calibration spin (N cores
+simultaneously free, judged against idle-floor ratios that account for
+all-core turbo drop); during the run the parent samples /proc/stat every 2 s
+and records the max INSTANTANEOUS busy-core excess over our own parallelism
+(tenant_cores_max) plus max hypervisor steal%; a post-run spin confirms no
+degradation. A run is CLEAN iff all pass — 1-min loadavg is deliberately
+not used (it is an EMA that a sub-minute tenant burst barely moves).
+Efficiency uses the best CLEAN run per level; contaminated samples are
+listed for honesty. {trust}.
 
 | parallelism | wall s (best clean) | tokens/sec (best clean) | all runs (tokens/sec, clean?) |
 |---|---|---|---|
@@ -159,6 +258,7 @@ Raw results:
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)
     print(md)
+    return md
 
 
 if __name__ == "__main__":

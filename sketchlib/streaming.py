@@ -62,14 +62,16 @@ def sketch_sink(
         partials = agg.build_partials(windowed, specs, group_by=WINDOW_COL)
         # foreachBatch is at-least-once: a replayed micro-batch re-delivers the
         # same batch_id with the same source offsets, so its partials are
-        # byte-identical — writing partitionBy(part=batch_id) with DYNAMIC
+        # byte-identical — writing partitionBy(batch=batch_id) with DYNAMIC
         # partition overwrite makes the replay idempotent (it replaces its own
-        # partition instead of appending duplicates that would double-count
+        # directory instead of appending duplicates that would double-count
         # the non-idempotent sketches: CMS counters, KLL/t-digest weights).
-        (partials.withColumn("part", F.lit(batch_id).cast("int"))
+        # ``part`` keeps the per-partition partial id (a micro-batch emits one
+        # partial per input partition); ``batch`` is the lineage key.
+        (partials.withColumn("batch", F.lit(batch_id).cast("long"))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("part")
+         .partitionBy("batch")
          .parquet(os.path.join(out_dir, "partials")))
 
     return sink
@@ -81,12 +83,12 @@ def read_windowed_sketches(spark: SparkSession, out_dir: str) -> DataFrame:
 
     Defense-in-depth against duplicate partials (e.g. a legacy append-mode
     layout, or a sink crash between partition commits): partials for the same
-    (sketch, group, part) are byte-identical by determinism, so keeping one
-    row per key is exact — never double-counted."""
+    (sketch, group, batch, part) are byte-identical by determinism (same
+    source offsets => same data), so keeping one row per key is exact —
+    never double-counted."""
     partials = spark.read.parquet(os.path.join(out_dir, "partials"))
-    return agg.merge_partials(
-        partials.dropDuplicates(["sketch", "group", "part"]), fanout=64, levels=2
-    )
+    partials = partials.dropDuplicates(["sketch", "group", "batch", "part"]).drop("batch")
+    return agg.merge_partials(partials, fanout=64, levels=2)
 
 
 def stateful_windowed_sketch(
@@ -166,6 +168,101 @@ def stateful_windowed_sketch(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def tws_windowed_sketch(
+    stream_df: DataFrame,
+    spec: SketchSpec,
+    ts_col: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+):
+    """Same contract as ``stateful_windowed_sketch`` on Spark 4's newer
+    ``transformWithStateInPandas`` engine: one sketch blob of ValueState per
+    event-time window, merged across micro-batches, emitted by an explicit
+    EVENT-TIME TIMER registered at the window end (fires when the watermark
+    passes it). The newer API adds composable state variables and timers —
+    the sketch monoid drops in unchanged.
+
+    Runtime dependency note: the TWS state-server protocol requires
+    ``google.protobuf`` on the driver/workers (ships with real Spark
+    deployments; absent in this offline dev container, where the
+    ``applyInPandasWithState`` variant above covers the stateful path).
+
+    Output schema: ``win_start timestamp, blob binary, rows bigint``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    cfg_json = spec.cfg.to_json()
+    sketch_kind = spec.sketch
+    col = spec.col
+
+    class SketchProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("sk", "blob binary, rows bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            from sketchlib import blob as blobmod
+            from sketchlib.agg import MODULES
+            from sketchlib.config import _Cfg
+
+            cfg = _Cfg.from_json(cfg_json)
+            module = MODULES[sketch_kind]
+            builder = module.new_builder(cfg)
+            n = 0
+            for pdf in rows:
+                vals = pdf[col]
+                if len(vals) == 0:
+                    continue
+                first = vals.iloc[0]
+                if hasattr(first, "__len__") and not isinstance(first, (str, bytes)):
+                    flat = np.concatenate([np.asarray(v) for v in vals])
+                else:
+                    flat = vals.to_numpy()
+                builder.update(flat)
+                n += len(pdf)
+            new_blob = blobmod.pack(sketch_kind, cfg, builder.to_payload())
+            cur = self._state.get()
+            if cur is not None:
+                new_blob = module.merge_blobs(bytes(cur[0]), new_blob)
+                n += int(cur[1])
+            self._state.update((new_blob, n))
+            # emit when the watermark passes the window end (idempotent
+            # re-registration across micro-batches)
+            self._handle.registerTimer(int(key[1].timestamp() * 1000))
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            cur = self._state.get()
+            self._state.clear()
+            if cur is None:
+                return
+            yield pd.DataFrame(
+                {"win_start": [key[0]], "blob": [bytes(cur[0])], "rows": [int(cur[1])]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    keyed = (
+        stream_df.withWatermark(ts_col, watermark)
+        .withColumn("_win", F.window(F.col(ts_col), window))
+        .withColumn("_ws", F.col("_win.start"))
+        .withColumn("_we", F.col("_win.end"))
+        .drop("_win")
+    )
+    return keyed.groupBy("_ws", "_we").transformWithStateInPandas(
+        SketchProcessor(),
+        outputStructType="win_start timestamp, blob binary, rows bigint",
+        outputMode="append",
+        timeMode="eventTime",
     )
 
 
