@@ -710,6 +710,29 @@ def sk_ann_ivf_topk(spark, sf_dir):
     ).select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def sk_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection (the multimodal leg of the
+    dedup family): inject 5 deterministic near-copies into the embeddings
+    table, recover them via multi-table hyperplane LSH + exact cosine verify.
+    Injected ids are original + 1_000_000; every returned pair is exactly
+    verified, so precision is 1.0 and the check is recall."""
+    from sketchlib import simsearch
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.orderBy("vec_id").first()["embedding"])
+    base = e.orderBy("vec_id").limit(5)
+    injected = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.97) + F.lit(0.01)).alias("embedding"),
+        "label",
+    )
+    corpus = e.unionByName(injected)
+    pairs = simsearch.embedding_near_duplicates(corpus, dim, threshold=0.98)
+    return pairs.orderBy("a", "b").select(
+        "a", "b", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def sk_approx_topk(spark, sf_dir):
     """Approximate heavy hitters (local-top-c candidates + CMS scoring)."""
     from sketchlib import topk
@@ -887,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_corpus_pipeline": sk_corpus_pipeline,
         "sk_cuckoo_membership": sk_cuckoo_membership,
         "sk_advisor_skyline": sk_advisor_skyline,
+        "sk_embedding_near_dups": sk_embedding_near_dups,
     }
 
 

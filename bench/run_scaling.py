@@ -103,9 +103,46 @@ def wait_n_cores_free(n: int, calib_ref: float, max_wait_s: int = 900) -> float:
     return s
 
 
+_CLK = os.sysconf("SC_CLK_TCK")
+
+
+def _host_cpu_times() -> list[int]:
+    with open("/proc/stat") as fh:
+        return list(map(int, fh.readline().split()[1:9]))
+
+
+def _tree_cpu_ticks(root_pid: int) -> int:
+    """utime+stime ticks of root_pid and every live descendant (the Spark
+    driver JVM plus its pyspark worker daemons are separate processes)."""
+    procs: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as fh:
+                raw = fh.read()
+        except OSError:
+            continue
+        rest = raw[raw.rfind(")") + 2:].split()
+        # rest[1]=ppid, rest[11]=utime, rest[12]=stime (post-comm fields)
+        procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+    ticks = 0
+    members = {root_pid}
+    grew = True
+    while grew:
+        grew = False
+        for pid, (ppid, _) in procs.items():
+            if ppid in members and pid not in members:
+                members.add(pid)
+                grew = True
+    for pid in members:
+        if pid in procs:
+            ticks += procs[pid][1]
+    return ticks
+
+
 def run_one(master: str, zpath: str, n_docs: int, calib_ref: float,
             gate_cores: int) -> dict:
-    cores = int(master.split("[")[1].rstrip("]"))
     pre = wait_n_cores_free(gate_cores, calib_ref)
     cmd = [
         "spark-submit",
@@ -116,41 +153,46 @@ def run_one(master: str, zpath: str, n_docs: int, calib_ref: float,
         "--master", master,
         "--n-docs", str(n_docs),
     ]
-    # sample /proc/stat while the child runs: INSTANTANEOUS busy-core count
-    # per 2 s interval (1-min loadavg is an EMA — a tenant burst inside a
-    # 60 s run barely moves it). During our measured phase we occupy at most
-    # `cores`; busy beyond cores + slop = an external tenant. Steal% catches
-    # hypervisor-level theft the guest scheduler can't see.
-    def _cpu_times() -> list[int]:
-        with open("/proc/stat") as fh:
-            return list(map(int, fh.readline().split()[1:9]))
-
+    # Tenant detection while the child runs: every 2 s compare the host's
+    # INSTANTANEOUS busy-core count (from /proc/stat deltas — 1-min loadavg
+    # is an EMA a sub-minute burst barely moves) against the CPU our own
+    # spark-submit PROCESS TREE consumed over the same interval (the JVM's
+    # GC/driver threads and the pyspark worker daemons all count as ours).
+    # busy_total - ours = external tenant cores. Steal% catches hypervisor-
+    # level theft the guest scheduler cannot see at all.
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True)
     excess_max = [0.0]
     steal_max = [0.0]
     done = threading.Event()
 
     def sampler() -> None:
-        prev = _cpu_times()
+        prev_host = _host_cpu_times()
+        prev_ours = _tree_cpu_ticks(proc.pid)
         while not done.wait(2.0):
-            cur = _cpu_times()
-            d = [y - x for x, y in zip(prev, cur)]
-            prev = cur
+            cur_host = _host_cpu_times()
+            cur_ours = _tree_cpu_ticks(proc.pid)
+            d = [y - x for x, y in zip(prev_host, cur_host)]
+            ours_ticks = max(0, cur_ours - prev_ours)
+            prev_host, prev_ours = cur_host, cur_ours
             tot = sum(d)
             if tot <= 0:
                 continue
+            interval_s = tot / _CLK / os.cpu_count()
             busy_cores = (tot - d[3] - d[4]) / tot * os.cpu_count()
-            excess_max[0] = max(excess_max[0], busy_cores - cores)
+            ours_cores = ours_ticks / _CLK / max(interval_s, 1e-9)
+            excess_max[0] = max(excess_max[0], busy_cores - ours_cores - 0.3)
             steal_max[0] = max(steal_max[0], 100.0 * d[7] / tot)
 
     smp = threading.Thread(target=sampler)
     smp.start()
     try:
-        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        stdout, stderr = proc.communicate(timeout=3600)
     finally:
         done.set()
         smp.join()
     post = spin_ms()
-    for line in out.stdout.splitlines():
+    for line in stdout.splitlines():
         line = line.strip()
         if line.startswith("{") and "tokens_per_sec" in line:
             r = json.loads(line)
@@ -165,7 +207,7 @@ def run_one(master: str, zpath: str, n_docs: int, calib_ref: float,
                 and steal_max[0] < 5.0
             )
             return r
-    sys.stderr.write(out.stdout[-3000:] + "\n" + out.stderr[-3000:])
+    sys.stderr.write(stdout[-3000:] + "\n" + stderr[-3000:])
     raise RuntimeError(f"no result line from {master}")
 
 

@@ -247,3 +247,17 @@ def test_multimodal_metadata_and_features(spark):
 def test_real_codec_absent_raises(spark):
     with pytest.raises(NotImplementedError):
         multimodal.CODEC.decode_image(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_embedding_near_duplicates(vectors):
+    """Multi-table hyperplane LSH + exact verify must recover the planted
+    near-dup pair (0, 7) with perfect precision (every output pair is
+    exactly verified >= threshold)."""
+    df, _mat = vectors
+    pairs = simsearch.embedding_near_duplicates(
+        df, dim=32, threshold=0.95, n_tables=8, bits_per_table=8
+    ).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (0, 7) in got, got
+    for r in pairs:
+        assert r["cosine"] >= 0.95
