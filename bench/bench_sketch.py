@@ -75,11 +75,24 @@ def main() -> None:
         agg.SketchSpec("tdigest", TDigestConfig(compression=100), "n_tok"),
     ]
 
-    # warm-up (JVM + python workers + page cache), then measured run
+    def _cpu_times() -> list[int]:
+        with open("/proc/stat") as fh:
+            return list(map(int, fh.readline().split()[1:9]))
+
+    # warm-up (JVM + python workers + page cache), then measured run.
+    # /proc/stat is snapshotted around EXACTLY the measured section so noise
+    # (hypervisor steal, external busy cores) is attributed to the timed
+    # window, not to JVM startup or warm-up.
     agg.collect_blobs(agg.build_sketches(corpus, specs[:1]))
+    c0 = _cpu_times()
     t0 = time.perf_counter()
     blobs = agg.collect_blobs(agg.build_sketches(corpus, specs))
     wall = time.perf_counter() - t0
+    c1 = _cpu_times()
+    d = [y - x for x, y in zip(c0, c1)]
+    tot = max(sum(d), 1)
+    measured_steal = 100.0 * d[7] / tot
+    measured_busy = (tot - d[3] - d[4]) / tot * (os.cpu_count() or 32)
 
     print(json.dumps({
         "master": args.master,
@@ -89,6 +102,8 @@ def main() -> None:
         "wall_s": round(wall, 3),
         "tokens_per_sec": round(total_tokens / wall, 0),
         "sketches": sorted(k[0] for k in blobs),
+        "measured_steal_pct": round(measured_steal, 1),
+        "measured_busy_cores": round(measured_busy, 1),
     }))
     spark.stop()
 

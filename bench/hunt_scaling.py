@@ -24,21 +24,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import run_scaling as rs  # noqa: E402
 
-JSONL = os.path.join(rs.REPO, "BENCH", "scaling_runs.jsonl")
+def _jsonl(n_small: int) -> str:
+    # one file per (N, 4N) pair so different ladders don't mix on resume
+    return os.path.join(rs.REPO, "BENCH", f"scaling_runs_{n_small}v{4 * n_small}.jsonl")
 
 
-def _append(rec: dict) -> None:
-    os.makedirs(os.path.dirname(JSONL), exist_ok=True)
-    with open(JSONL, "a") as fh:
+def _append(path: str, rec: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "a") as fh:
         fh.write(json.dumps(rec) + "\n")
 
 
-def _load() -> tuple[list[dict], list[dict]]:
+def _load(path: str) -> tuple[list[dict], list[dict]]:
     runs_n, runs_4n = [], []
-    if os.path.exists(JSONL):
-        with open(JSONL) as fh:
+    if os.path.exists(path):
+        with open(path) as fh:
             for line in fh:
                 r = json.loads(line)
+                if r.get("_level") == "error":
+                    continue
                 (runs_n if r.get("_level") == "n" else runs_4n).append(r)
     return runs_n, runs_4n
 
@@ -52,8 +56,9 @@ def main() -> None:
     zpath = rs.make_zip()
     calib_ref = min(rs.spin_ms() for _ in range(7))
     deadline = time.time() + budget_s
+    jsonl = _jsonl(n_small)
 
-    runs_n, runs_4n = _load()
+    runs_n, runs_4n = _load(jsonl)
 
     def clean_pairs() -> int:
         return min(sum(r["clean"] for r in runs_n), sum(r["clean"] for r in runs_4n))
@@ -69,13 +74,13 @@ def main() -> None:
             r = rs.run_one(f"local[{n_small}]", zpath, n_docs, calib_ref, n_big)
             r["_level"] = "n"
             runs_n.append(r)
-            _append(r)
+            _append(jsonl, r)
             r = rs.run_one(f"local[{n_big}]", zpath, n_docs, calib_ref, n_big)
             r["_level"] = "4n"
             runs_4n.append(r)
-            _append(r)
+            _append(jsonl, r)
         except Exception as e:  # noqa: BLE001 — keep hunting through sporadic failures
-            _append({"_level": "error", "error": str(e)[:500]})
+            _append(jsonl, {"_level": "error", "error": str(e)[:500]})
             time.sleep(30)
             continue
         if runs_n and runs_4n and clean_pairs() >= 1:

@@ -200,12 +200,26 @@ def run_one(master: str, zpath: str, n_docs: int, calib_ref: float,
             r["spin_post"] = round(post / calib_ref, 2)
             r["tenant_cores_max"] = round(excess_max[0], 1)
             r["steal_pct_max"] = round(steal_max[0], 1)
-            r["clean"] = (
-                pre < _clean_ratio(gate_cores) * calib_ref
-                and post < 1.5 * calib_ref  # post is a single-process spin
-                and excess_max[0] < 2.5
-                and steal_max[0] < 5.0
-            )
+            cores = int(master.split("[")[1].rstrip("]"))
+            if "measured_steal_pct" in r:
+                # tight attribution: the child snapshots /proc/stat around
+                # EXACTLY the measured section, so startup/warm-up noise no
+                # longer misclassifies runs in either direction. Our own
+                # legitimate busy during the build spans the JVM task threads
+                # plus the pyspark workers (~1.2-1.6x cores); beyond the
+                # ceiling = external tenant inside the timed window.
+                r["clean"] = (
+                    pre < _clean_ratio(gate_cores) * calib_ref
+                    and r["measured_steal_pct"] < 4.0
+                    and r["measured_busy_cores"] < cores * 1.6 + 3.0
+                )
+            else:
+                r["clean"] = (
+                    pre < _clean_ratio(gate_cores) * calib_ref
+                    and post < 1.5 * calib_ref
+                    and excess_max[0] < 2.5
+                    and steal_max[0] < 5.0
+                )
             return r
     sys.stderr.write(stdout[-3000:] + "\n" + stderr[-3000:])
     raise RuntimeError(f"no result line from {master}")
