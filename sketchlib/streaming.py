@@ -87,7 +87,12 @@ def read_windowed_sketches(spark: SparkSession, out_dir: str) -> DataFrame:
     source offsets => same data), so keeping one row per key is exact —
     never double-counted."""
     partials = spark.read.parquet(os.path.join(out_dir, "partials"))
-    partials = partials.dropDuplicates(["sketch", "group", "batch", "part"]).drop("batch")
+    if "batch" in partials.columns:
+        partials = partials.dropDuplicates(["sketch", "group", "batch", "part"]).drop("batch")
+    else:
+        # legacy append-mode layout (pre-batch-lineage sink): partials were
+        # keyed by part only; same-key rows are byte-identical by determinism
+        partials = partials.dropDuplicates(["sketch", "group", "part"])
     return agg.merge_partials(partials, fanout=64, levels=2)
 
 

@@ -300,10 +300,18 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
                 bitmat = np.unpackbits(
                     wh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
                 )
-                safe_starts = np.minimum(starts, wh.size - 1)
-                ones = np.add.reduceat(bitmat.astype(np.int32), safe_starts, axis=0)
+                # reduceat over NONEMPTY docs only (strictly increasing
+                # starts; each range ends at the next nonempty start) —
+                # exact for empty docs anywhere, incl. at the batch tail
+                # where a clamped start would shift the previous doc's
+                # boundary and drop its last word's bits from the vote.
+                ones = np.zeros((n_docs, 64), dtype=np.int64)
+                ne = seg_len > 0
+                if ne.any():
+                    ones[ne] = np.add.reduceat(
+                        bitmat.astype(np.int64), starts[ne], axis=0
+                    )
                 votes = 2 * ones - seg_len[:, None]  # (+1 per set bit, -1 per clear)
-                votes[seg_len == 0] = -1  # reduceat quirk: empty doc -> no bits
                 sign = (votes > 0).astype(np.uint64)
                 sh = (sign << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
             yield pa.RecordBatch.from_arrays(
@@ -469,12 +477,16 @@ def fingerprint_bytes_segmented(data: np.ndarray, starts: np.ndarray,
                 np.full(maxlen - 1, _FP_INVB, dtype=np.uint64), out=pwi[1:])
         pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
         terms = data.astype(np.uint64) * pwi[pos]
+        # reduceat over NONEMPTY segments only: their starts are strictly
+        # increasing and each range ends exactly at the next nonempty start
+        # (empty segments have zero width), so this is exact for empty
+        # segments anywhere in the batch — including a run at the tail,
+        # where a clamped-start reduceat would steal the previous doc's
+        # last byte (batch-layout-dependent fingerprints).
         nonempty = lens > 0
-        safe_starts = np.minimum(starts, max(total - 1, 0))
-        sums = np.add.reduceat(terms, safe_starts)
-        # reduceat quirk: an empty segment returns the element at its start
-        # (and the start index may belong to the NEXT segment) — zero it out
-        out = np.where(nonempty, sums * pw[np.maximum(lens - 1, 0)], np.uint64(0))
+        if nonempty.any():
+            sums = np.add.reduceat(terms, starts[nonempty])
+            out[nonempty] = sums * pw[lens[nonempty] - 1]
     return out
 
 

@@ -171,6 +171,51 @@ def test_fingerprint_kernel_matches_horner_and_handles_megabyte_doc():
     assert dt < 5.0, f"kernel took {dt:.2f}s on 10k docs + 1MB doc"
 
 
+def test_fingerprint_kernel_empty_tail_and_interior_segments():
+    """Regression (round-3 ADVICE): a clamped-start reduceat stole the last
+    byte of the doc preceding a trailing empty segment, making fingerprints
+    batch-layout-dependent. Each doc's fingerprint must equal its
+    processed-alone value regardless of where empty docs sit in the batch."""
+    def seg(texts):
+        enc = [t.encode("utf-8") for t in texts]
+        lens = np.array([len(e) for e in enc], dtype=np.int64)
+        starts = np.r_[0, np.cumsum(lens)[:-1]].astype(np.int64)
+        data = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        return textops.fingerprint_bytes_segmented(data, starts, lens)
+
+    layouts = [
+        ["hello", ""],                      # the exact verified-broken case
+        ["hello", "", ""],                  # run of trailing empties
+        ["", "hello"],                      # leading empty
+        ["a", "", "bc", "", "", "def", ""],  # interior + tail empties
+        ["", "", ""],                       # all empty
+        [" ", "hello", "  "],               # whitespace-only docs
+    ]
+    for texts in layouts:
+        got = seg(texts)
+        for i, t in enumerate(texts):
+            alone = seg([t])[0]
+            assert int(got[i]) == int(alone) == _horner_reference(t), (texts, i)
+            if t == "":
+                assert int(got[i]) == 0
+
+
+def test_simhash_empty_tail_doc_batch_independent(spark):
+    """Regression (round-3 ADVICE): an empty doc at the batch tail shifted
+    the previous doc's segment boundary, dropping its last word's bits from
+    the simhash vote. Signatures must match the processed-alone values."""
+    texts = ["the quick brown fox", "", "lorem ipsum dolor", "   ", "tail words here", ""]
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    batched = spark.createDataFrame(rows).coalesce(1)  # one Arrow batch
+    got = {r["doc_id"]: r["simhash"] for r in textops.simhash(batched).collect()}
+    for i, t in enumerate(texts):
+        alone_df = spark.createDataFrame([Row(doc_id=i, text=t)]).coalesce(1)
+        alone = textops.simhash(alone_df).collect()[0]["simhash"]
+        assert got[i] == alone, (i, t, got[i], alone)
+    # docs with no words hash to 0 (all votes non-positive)
+    assert got[1] == 0 and got[5] == 0
+
+
 # ---------- similarity search ---------------------------------------------------
 
 @pytest.fixture(scope="module")
