@@ -7,17 +7,20 @@ unverified]); the Spark idiom is a boolean membership column — Catalyst turns
 any downstream plan (semi-join pruning, sideways information passing).
 
 Blobs are shipped via ``SparkContext.broadcast`` (one copy per executor, not
-per task) and probed with vectorized kernels inside ``mapInArrow``.
+per task) and probed with vectorized kernels inside a scalar Arrow UDF over
+ONLY the key column: the plan's ``ArrowEvalPython`` exchange transfers just
+that column to the Python worker and the JVM zips the result column back in.
+(The previous ``mapInArrow`` formulation round-tripped the ENTIRE input
+schema through Python — harmless on a one-column probe table, a scale-killer
+when probing a wide 100 TB corpus table.)
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pyarrow as pa
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from sketchlib import arrowutil, blob as blobmod, bloom, cms, cuckoo, kll, tdigest
 from sketchlib.config import SketchConfigError
@@ -27,32 +30,36 @@ def _append_col_map(df: DataFrame, blob: bytes, col: str, out: str, kernel, out_
                     array_mode: str = "all"):
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(blob)
-    in_schema = df.schema
 
-    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    def probe(arr: pa.Array) -> pa.Array:
         payload_blob = bc.value
-        for batch in batches:
-            arr = batch.column(col)
-            if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
-                flat, starts = arrowutil.list_to_flat(arr)
-                res_flat = kernel(flat, payload_blob)
-                # per-row semantics for array columns: 'all' tokens present /
-                # 'any' token present (empty rows: all=True, any=False)
-                seg_len = np.diff(np.r_[starts, flat.shape[0]])
-                if res_flat.dtype == bool:
-                    csum = np.r_[0, np.cumsum(res_flat.astype(np.int64))]
-                    hits = csum[np.r_[starts, flat.shape[0]][1:]] - csum[starts]
-                    res = hits == seg_len if array_mode == "all" else hits > 0
-                else:
-                    raise SketchConfigError("array-column probe only supports boolean kernels")
-            else:
-                values = arrowutil.column_values(arr)
-                res = kernel(values, payload_blob)
-            yield batch.append_column(out, pa.array(res, type=out_type))
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        # null inputs -> null outputs (sketch inputs are non-null by
+        # contract; masked rather than dropped so row alignment holds)
+        mask = None
+        if arr.null_count:
+            mask = np.invert(arr.is_valid().to_numpy(zero_copy_only=False))
+        if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+            flat, starts = arrowutil.list_to_flat(arr)
+            res_flat = kernel(flat, payload_blob)
+            if res_flat.dtype != bool:
+                raise SketchConfigError("array-column probe only supports boolean kernels")
+            # per-row semantics for array columns: 'all' tokens present /
+            # 'any' token present (empty rows: all=True, any=False)
+            seg_len = np.diff(np.r_[starts, flat.shape[0]])
+            csum = np.r_[0, np.cumsum(res_flat.astype(np.int64))]
+            hits = csum[np.r_[starts, flat.shape[0]][1:]] - csum[starts]
+            res = hits == seg_len if array_mode == "all" else hits > 0
+        else:
+            vals = (arr.fill_null(0) if arr.null_count else arr).to_numpy(
+                zero_copy_only=False)
+            res = kernel(vals, payload_blob)
+        return pa.array(res, type=out_type, mask=mask)
 
-    schema_str = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields)
     type_str = {pa.bool_(): "boolean", pa.int64(): "bigint", pa.float64(): "double"}[out_type]
-    return df.mapInArrow(fn, f"{schema_str}, {out} {type_str}")
+    probe_udf = F.arrow_udf(probe, type_str)
+    return df.withColumn(out, probe_udf(F.col(col)))
 
 
 def with_bloom_membership(df: DataFrame, blob: bytes, col: str, out: str = "member",

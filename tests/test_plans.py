@@ -68,3 +68,26 @@ def test_probe_has_no_shuffle(spark, corpus_path):
     df = spark.read.parquet(corpus_path)
     probed = probe.with_bloom_membership(df.select("n_tok"), blob, "n_tok")
     assert "Exchange" not in _plan(probed)
+
+
+def test_probe_ships_only_key_column_to_python(spark, corpus_path):
+    """Probing a WIDE table must not round-trip non-key columns through the
+    Python worker: the plan node is a scalar ArrowEvalPython over the key
+    column only (the old mapInArrow formulation shipped the entire schema —
+    a scale-killer on a 100 TB corpus table)."""
+    import numpy as np
+    from sketchlib import bloom, fpr, probe
+
+    keys = np.arange(1000, dtype=np.int32)
+    blob = bloom.build(keys, fpr.suggest_config(1000, 0.01))
+    df = spark.read.parquet(corpus_path)  # doc_id, tokens, n_tok, source
+    probed = probe.with_bloom_membership(df, blob, "n_tok")
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "MapInArrow" not in plan
+    eval_lines = [ln for ln in plan.splitlines() if "ArrowEvalPython" in ln]
+    assert eval_lines, plan
+    # only n_tok enters the Python exchange — the wide columns stay JVM-side
+    for ln in eval_lines:
+        assert "n_tok" in ln, ln
+        for other in ("doc_id", "tokens", "source"):
+            assert other not in ln, ln
