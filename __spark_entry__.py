@@ -799,10 +799,11 @@ def sk_advisor_skyline(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     n = li.select("l_partkey").distinct().count()
+    cost_fn, cost_source = advisor.resolve_probe_cost(None)
     rows = []
     for t_w_ns in (0.0, 50.0, 500.0, 5_000.0, 50_000.0, 5e6):
         cfg = advisor.suggest_config_cost(n, t_w_ns)
-        p_ns = advisor._model_probe_ns(cfg)
+        p_ns = cost_fn(cfg)
         f = fprmod.fpr(cfg, n)
         rows.append(Row(
             t_w_ns=float(t_w_ns),
@@ -811,6 +812,7 @@ def sk_advisor_skyline(spark, sf_dir):
             probe_ns=float(round(p_ns, 1)),
             analytic_fpr=float(f),
             cost_ns=float(round(p_ns + f * t_w_ns, 2)),
+            cost_source=cost_source,
         ))
     return spark.createDataFrame(rows)
 

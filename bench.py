@@ -22,38 +22,45 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-    import numpy as np
-
-    # --- noise instrumentation -------------------------------------------------
-    # This sandbox shares its 32 cores with bursty external tenants (loadavg
-    # 6-13 with zero local processes; identical builds have measured 4M and
-    # 37M tokens/s minutes apart). Two defenses:
-    # 1. a bounded launch gate on loadavg;
-    # 2. a CALIBRATION SPIN — a fixed single-core NumPy sort timed before and
-    #    after every query. loadavg decays over a minute and counts our own
-    #    executors, but the spin directly measures how much CPU an external
-    #    tenant is stealing *right now*. A query whose after-spin is slow ran
-    #    in a contaminated window and is retried once (min kept).
-    _calib = np.random.default_rng(0).integers(0, 1 << 30, 1_500_000, dtype=np.int64)
-
-    def spin_ms() -> float:
-        t0 = time.perf_counter()
-        np.sort(_calib)
-        return (time.perf_counter() - t0) * 1000.0
+    # --- noise instrumentation (shared with bench/run_scaling.py) --------------
+    # Round-2 lesson, round-3 fix: the old single-thread calibration spin was
+    # BLIND to partial occupancy (a tenant eating 16 of 32 cores leaves one
+    # spin thread at full speed while halving the query), so BENCH_r02
+    # certified a physically impossible row as clean. Every query is now
+    # gated on an N-PROCESS spin (N cores simultaneously free) and its
+    # measured window is wrapped in /proc/stat + process-tree attribution:
+    # clean = near-zero hypervisor steal AND near-zero external busy cores
+    # inside exactly the timed section; dirty windows are retried.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench"))
+    import noise
 
     t_wait = time.time()
     while time.time() - t_wait < 180 and os.getloadavg()[0] > 2.5:
         time.sleep(5)
-    calib_ref = min(spin_ms() for _ in range(7))
+    calib_ref = min(noise.spin_ms() for _ in range(7))
+    gate_cores = min(cpus, os.cpu_count() or cpus)
 
-    def wait_for_quiet_spin(max_s: float = 90.0) -> float:
-        t0 = time.time()
-        while time.time() - t0 < max_s:
-            s = spin_ms()
-            if s < 1.6 * calib_ref:
-                return s
-            time.sleep(3)
-        return spin_ms()
+    # Host-speed epoch context: this VM's per-core speed is BIMODAL even when
+    # verifiably idle (hypervisor frequency/co-scheduling epochs, NEXT.md) —
+    # a per-run calibration baseline cannot see that, so ratios look clean
+    # while every wall-clock number runs 2x slow. Persist the best spin ever
+    # observed and (a) wait briefly for a fast epoch, (b) report the factor.
+    floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH", "spin_floor.json")
+    try:
+        with open(floor_path) as fh:
+            spin_floor = float(json.load(fh)["spin_floor_ms"])
+    except (OSError, ValueError, KeyError):
+        spin_floor = calib_ref
+    t_wait = time.time()
+    while time.time() - t_wait < 120 and calib_ref > 1.3 * spin_floor:
+        time.sleep(10)
+        calib_ref = min(noise.spin_ms() for _ in range(3))
+    spin_floor = min(spin_floor, calib_ref)
+    os.makedirs(os.path.dirname(floor_path), exist_ok=True)
+    with open(floor_path, "w") as fh:
+        json.dump({"spin_floor_ms": round(spin_floor, 2)}, fh)
+    host_speed_factor = round(calib_ref / spin_floor, 2)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
@@ -102,27 +109,64 @@ def main() -> None:
     query_noise: dict[str, dict] = {}
     extra: dict = {}
 
-    def timed(name: str, fn, retries: int = 1):
-        best_dt, best_out, best_meta = None, None, None
+    # global cap on gate-wait + retry overhead so a noisy/slow host cannot
+    # blow the bench past the driver's time budget: once spent, queries run
+    # once with no pre-wait and carry their (possibly dirty) flags honestly
+    noise_budget = [150.0]
+
+    def timed(name: str, fn, retries: int = 3):
+        """Measure fn in a verifiably clean window: pre-gate on gate_cores
+        simultaneously free, then attribute host CPU inside exactly the
+        measured section; retry (bounded by the shared noise budget) until
+        clean. Keeps the best CLEAN measurement, falling back to the fastest
+        dirty one (flagged)."""
+        best_clean = None
+        best_any = None
+        attempt = 0
         for attempt in range(retries + 1):
-            pre = wait_for_quiet_spin()
+            t_gate = time.time()
+            pre = noise.wait_n_cores_free(
+                gate_cores, calib_ref, max_wait_s=min(30.0, max(noise_budget[0], 0.0)))
+            noise_budget[0] -= time.time() - t_gate
+            mon = noise.WindowMonitor()
             t0 = time.perf_counter()
-            out = fn()
+            with mon:
+                out = fn()
             dt = time.perf_counter() - t0
-            post = spin_ms()
+            clean = (
+                pre < noise.clean_ratio(gate_cores) * calib_ref
+                and mon.steal_pct < 4.0
+                and mon.tenant_cores < 2.0
+                and mon.tenant_cores_max < 4.0
+            )
             meta = {
                 "spin_pre": round(pre / calib_ref, 2),
-                "spin_post": round(post / calib_ref, 2),
-                "attempts": attempt + 1,
+                "steal_pct": round(mon.steal_pct, 1),
+                "tenant_cores": round(mon.tenant_cores, 1),
+                "tenant_cores_max": round(mon.tenant_cores_max, 1),
+                "steal_pct_max": round(mon.steal_pct_max, 1),
+                "clean": clean,
             }
-            if best_dt is None or dt < best_dt:
-                best_dt, best_out, best_meta = dt, out, meta
-            if post < 1.6 * calib_ref:
-                break  # clean window: trust this measurement
-        best_meta["attempts"] = attempt + 1
-        queries[name] = round(best_dt, 3)
-        query_noise[name] = best_meta
-        return best_out
+            if best_any is None or dt < best_any[0]:
+                best_any = (dt, out, meta)
+            if clean:
+                best_clean = (dt, out, meta)
+                break
+            if attempt > 0:  # re-runs beyond the first retry spend the budget
+                noise_budget[0] -= dt
+            if noise_budget[0] <= 0:
+                break
+        dt, out, meta = best_clean if best_clean is not None else best_any
+        meta["attempts"] = attempt + 1
+        queries[name] = round(dt, 3)
+        query_noise[name] = meta
+        return out
+
+    # one untimed warm-up build: JVM JIT, python worker pool, page cache —
+    # so ordering does not penalize whichever build row runs first (r2's
+    # bloom-only row looked 8x slower than the 5-sketch row purely because
+    # it ran cold in a contaminated window)
+    agg.collect_blobs(agg.build_sketches(corpus, specs))
 
     # headline: full five-sketch distributed build (scan + partials + merge)
     blobs = timed(
@@ -151,7 +195,27 @@ def main() -> None:
     )
     extra["bloom_probe_keys_per_sec"] = round(5_000_000 / queries["q_bloom_probe_5m"], 0)
 
-    # grouped HLL (group skew path)
+    # 20M probes: amortizes the ~0.4 s fixed job overhead that dominates the
+    # 5M row, so this is the sustained keys/s figure
+    probes20 = spark.range(20_000_000).select(
+        (F.col("id") % (1 << 18)).cast("int").alias("t")
+    )
+    timed(
+        "q_bloom_probe_20m",
+        lambda: probe.with_bloom_membership(probes20, bloom_blob, "t")
+        .filter("member").count(),
+    )
+    extra["bloom_probe20_keys_per_sec"] = round(20_000_000 / queries["q_bloom_probe_20m"], 0)
+
+    # global vs grouped HLL: the grouped build's shared-dedup kernel should
+    # keep the grouped row within ~1.5x of the global one (round-1 criterion,
+    # now measured directly instead of inferred)
+    timed(
+        "q_hll_global",
+        lambda: agg.collect_blobs(agg.build_sketches(
+            corpus, [agg.SketchSpec("hll12", HLLConfig(p=12), "tokens")]
+        )),
+    )
     timed(
         "q_hll_grouped",
         lambda: agg.build_sketches(
@@ -172,6 +236,7 @@ def main() -> None:
     from sketchlib import advisor
 
     probe_ns = {}
+    probe_rows = []
     for label, geom, k in (
         ("reg64_k4", dict(word_bits=64, words_per_block=1, sectors=1), 4),
         ("cl512_k4", dict(word_bits=64, words_per_block=8, sectors=1), 4),
@@ -179,10 +244,23 @@ def main() -> None:
         ("cl512s8z2_k8", dict(word_bits=64, words_per_block=8, sectors=8, zones=2), 8),
     ):
         cfg = BloomConfig(m_bits=1 << 21, k=k, **geom)
-        probe_ns[label] = round(advisor.measure_probe_ns(cfg, reps=3), 1)
+        ns = round(advisor.measure_probe_ns(cfg, reps=3), 1)
+        probe_ns[label] = ns
+        probe_rows.append(dict(block_bits=cfg.block_bits, sectors=cfg.sectors,
+                               zones=cfg.zones, k=cfg.k, m_bits=cfg.m_bits, ns=ns))
     extra["probe_ns_per_key"] = probe_ns
+    # persist so advisor.suggest_config_cost auto-prefers live measurements
+    extra["probe_table_path"] = str(advisor.save_probe_table(probe_rows))
 
-    total = round(sum(queries.values()), 3)
+    # keep the headline comparable across rounds: sum over the round-2 query
+    # set (q_bloom_probe_20m and q_hll_global are new-in-round-3 rows)
+    r2_set = {
+        "q_sketch_build_all", "q_bloom_build", "q_bloom_probe_5m",
+        "q_hll_grouped", "q01_pricing_summary", "q15_orders_by_segment",
+        "q_minhash_near_dups", "q_ann_cosine_topk",
+    }
+    total = round(sum(v for k, v in queries.items() if k in r2_set), 3)
+    extra["value_all_queries"] = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "sketchlib headline (5-sketch distributed build + probe + exact/dedup/ANN)",
         "value": total,
@@ -192,6 +270,8 @@ def main() -> None:
         "cpus": cpus,
         "query_noise": query_noise,
         "calib_spin_ms": round(calib_ref, 2),
+        "spin_floor_ms": round(spin_floor, 2),
+        "host_speed_factor": host_speed_factor,
         "loadavg_at_exit": round(os.getloadavg()[0], 2),
         **extra,
     }))

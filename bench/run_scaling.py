@@ -33,52 +33,15 @@ import threading
 import time
 import zipfile
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import noise  # noqa: E402  (shared N-process spin + /proc/stat attribution)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# cache-resident per-worker workload (800 KB x 40 sorts ~ 45 ms) so the
-# parallel probe measures FREE CORES, not memory bandwidth or GIL
-# serialization (threads are useless here: small NumPy calls serialize on
-# the GIL and fake contention — PROCESSES are the honest probe).
-_CALIB = np.random.default_rng(0).integers(0, 1 << 30, 100_000, dtype=np.int64)
-_REPS = 40
-
-
-def _spin_worker(_i: int) -> float:
-    a = _CALIB.copy()
-    t0 = time.perf_counter()
-    for _ in range(_REPS):
-        np.sort(a)
-    return (time.perf_counter() - t0) * 1000.0
-
-
-def spin_ms() -> float:
-    return _spin_worker(0)
-
-
-def spin_ms_parallel(n_procs: int) -> float:
-    """Worst per-process time of n_procs concurrent spins. Idle-host
-    calibration on this VM (2026-08-16, loadavg 0.3): n=4 -> 1.33x the
-    single-process time, n=16 -> 1.90x, n=32 -> 2.53x — that residual is
-    all-core turbo-frequency drop, the floor any real N-core run pays. A
-    tenant holding cores pushes the ratio far above those floors; that is
-    what the gate detects (a single-thread spin is blind to partial
-    occupancy)."""
-    from multiprocessing import get_context
-
-    with get_context("fork").Pool(n_procs) as pool:
-        return max(pool.map(_spin_worker, range(n_procs)))
-
-
-def _clean_ratio(n_procs: int) -> float:
-    """Idle-floor threshold for n concurrent cores, from the calibration
-    above plus slop."""
-    if n_procs <= 4:
-        return 1.8
-    if n_procs <= 16:
-        return 2.4
-    return 3.1
+# re-exported for hunt_scaling.py / write_scaling_report.py
+spin_ms = noise.spin_ms
+spin_ms_parallel = noise.spin_ms_parallel
+_clean_ratio = noise.clean_ratio
 
 
 def make_zip() -> str:
@@ -92,53 +55,10 @@ def make_zip() -> str:
     return zpath
 
 
-def wait_n_cores_free(n: int, calib_ref: float, max_wait_s: int = 900) -> float:
-    """Block until n cores are simultaneously free (bounded), judged against
-    the idle-floor ratio for n concurrent processes."""
-    t0 = time.time()
-    s = spin_ms_parallel(n)
-    while time.time() - t0 < max_wait_s and s > _clean_ratio(n) * calib_ref:
-        time.sleep(10)
-        s = spin_ms_parallel(n)
-    return s
-
-
-_CLK = os.sysconf("SC_CLK_TCK")
-
-
-def _host_cpu_times() -> list[int]:
-    with open("/proc/stat") as fh:
-        return list(map(int, fh.readline().split()[1:9]))
-
-
-def _tree_cpu_ticks(root_pid: int) -> int:
-    """utime+stime ticks of root_pid and every live descendant (the Spark
-    driver JVM plus its pyspark worker daemons are separate processes)."""
-    procs: dict[int, tuple[int, int]] = {}
-    for d in os.listdir("/proc"):
-        if not d.isdigit():
-            continue
-        try:
-            with open(f"/proc/{d}/stat") as fh:
-                raw = fh.read()
-        except OSError:
-            continue
-        rest = raw[raw.rfind(")") + 2:].split()
-        # rest[1]=ppid, rest[11]=utime, rest[12]=stime (post-comm fields)
-        procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
-    ticks = 0
-    members = {root_pid}
-    grew = True
-    while grew:
-        grew = False
-        for pid, (ppid, _) in procs.items():
-            if ppid in members and pid not in members:
-                members.add(pid)
-                grew = True
-    for pid in members:
-        if pid in procs:
-            ticks += procs[pid][1]
-    return ticks
+wait_n_cores_free = noise.wait_n_cores_free
+_host_cpu_times = noise.host_cpu_times
+_tree_cpu_ticks = noise.tree_cpu_ticks
+_CLK = noise._CLK
 
 
 def run_one(master: str, zpath: str, n_docs: int, calib_ref: float,

@@ -32,14 +32,77 @@ measured table when the ordering is close.
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import time
+from pathlib import Path
 from typing import Callable
 
 import numpy as np
 
 from sketchlib import fpr as fprmod
 from sketchlib.config import BloomConfig
+
+# bench.py persists its per-run measured probe table here; the selector
+# auto-loads it so suggest_config_cost prefers live measurements over the
+# fitted model without the caller threading the table through
+PROBE_TABLE_ENV = "SKETCHLIB_PROBE_TABLE"
+_DEFAULT_PROBE_TABLE = Path(__file__).resolve().parent.parent / "BENCH" / "probe_table.json"
+
+
+def probe_table_path() -> Path:
+    return Path(os.environ.get(PROBE_TABLE_ENV, str(_DEFAULT_PROBE_TABLE)))
+
+
+def save_probe_table(rows: list[dict], path=None) -> Path:
+    """Persist measured probe costs; each row carries the config identity
+    (block_bits, sectors, zones, k) plus ``ns`` (ns/key) and free-form
+    context (m_bits, host note, ...)."""
+    p = Path(path) if path is not None else probe_table_path()
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(json.dumps({"rows": rows}, indent=1))
+    return p
+
+
+def load_probe_table(path=None) -> dict | None:
+    """Load the persisted table as {(block_bits, sectors, zones, k): ns};
+    None when absent/unreadable (callers fall back to the fitted model)."""
+    p = Path(path) if path is not None else probe_table_path()
+    try:
+        data = json.loads(p.read_text())
+    except (OSError, ValueError):
+        return None
+    out = {}
+    for r in data.get("rows", []):
+        try:
+            key = (int(r["block_bits"]), int(r["sectors"]), int(r["zones"]), int(r["k"]))
+            out[key] = float(r["ns"])
+        except (KeyError, TypeError, ValueError):
+            continue
+    return out or None
+
+
+def _table_cost_fn(table: dict) -> Callable[[BloomConfig], float]:
+    def cost_fn(cfg: BloomConfig) -> float:
+        key = (cfg.block_bits, cfg.sectors, cfg.zones, cfg.k)
+        return table.get(key, _model_probe_ns(cfg))
+    return cost_fn
+
+
+def resolve_probe_cost(probe_ns=None) -> tuple[Callable[[BloomConfig], float], str]:
+    """Pick the probe-cost source: explicit callable/table from the caller,
+    else the bench-measured persisted table, else the fitted model. Returns
+    (cost_fn, source) with source in {'explicit-callable', 'explicit-table',
+    'measured-table', 'fitted-model'} so callers can report provenance."""
+    if callable(probe_ns):
+        return probe_ns, "explicit-callable"
+    if isinstance(probe_ns, dict):
+        return _table_cost_fn(probe_ns), "explicit-table"
+    table = load_probe_table()
+    if table:
+        return _table_cost_fn(table), "measured-table"
+    return _model_probe_ns, "fitted-model"
 
 # geometry menu the selector scans: the reference's main design points
 DEFAULT_GEOMETRIES: tuple[dict, ...] = (
@@ -103,15 +166,10 @@ def skyline(n: int, t_w_ns: float, geometries=None, max_bits_per_key: int = 24,
             ) -> list[tuple[float, float, float, BloomConfig]]:
     """All candidates as (total_cost_ns, probe_ns, fpr, cfg), cheapest first.
     ``probe_ns`` may be a callable, a {(block_bits, sectors, zones, k): ns}
-    dict of measurements, or None for the fitted model."""
-    if callable(probe_ns):
-        cost_fn = probe_ns
-    elif isinstance(probe_ns, dict):
-        def cost_fn(cfg: BloomConfig) -> float:
-            key = (cfg.block_bits, cfg.sectors, cfg.zones, cfg.k)
-            return probe_ns.get(key, _model_probe_ns(cfg))
-    else:
-        cost_fn = _model_probe_ns
+    dict of measurements, or None — which prefers the bench-persisted
+    measured table (``load_probe_table``) and falls back to the fitted
+    model."""
+    cost_fn, _source = resolve_probe_cost(probe_ns)
     rows = []
     for cfg in _candidate_configs(n, geometries, max_bits_per_key):
         p = float(cost_fn(cfg))

@@ -187,11 +187,20 @@ def embedding_near_duplicates(
                           F.ceil(F.col("_n") / max_bucket).cast("long")) == 0))
         .drop("_n")
     )
-    a = capped.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"), "tbl", "h")
-    b = capped.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"), "tbl", "h")
-    cands = (
+    a = capped.select(F.col(id_col).alias("a"), "tbl", "h")
+    b = capped.select(F.col(id_col).alias("b"), "tbl", "h")
+    # dedup candidate pairs on ids ONLY (a pair surfacing in several tables
+    # must not drag two full dim-sized vectors through the distinct's
+    # shuffle), then join the vectors back once for the exact verify
+    pair_ids = (
         a.join(b, ["tbl", "h"]).filter(F.col("a") < F.col("b"))
-        .select("a", "b", "_va", "_vb").distinct()
+        .select("a", "b").distinct()
+    )
+    vecs = df.select(id_col, vec_col)
+    cands = (
+        pair_ids
+        .join(vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va")), "a")
+        .join(vecs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")), "b")
     )
     dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)

@@ -12,6 +12,14 @@ N = 1_000_000
 SWEEP = [0.0, 10.0, 100.0, 1_000.0, 10_000.0, 1e6, 1e8]
 
 
+@pytest.fixture(autouse=True)
+def _no_persisted_probe_table(monkeypatch, tmp_path):
+    """The model-based properties below must not be perturbed by a
+    bench-persisted probe table lying around in BENCH/ — point the loader at
+    an empty location unless a test writes one itself."""
+    monkeypatch.setenv(advisor.PROBE_TABLE_ENV, str(tmp_path / "absent.json"))
+
+
 def _cost(cfg: BloomConfig, t_w_ns: float) -> float:
     return advisor._model_probe_ns(cfg) + fprmod.fpr(cfg, N) * t_w_ns
 
@@ -50,6 +58,43 @@ def test_measured_table_overrides_model():
         expensive[key] = 1e9 if cfg.block_bits == 512 else advisor._model_probe_ns(cfg)
     pick = advisor.suggest_config_cost(N, 1_000.0, probe_ns=expensive)
     assert pick.block_bits != 512
+
+
+def test_persisted_table_auto_loaded(tmp_path, monkeypatch):
+    """bench.py persists its measured table; suggest_config_cost(probe_ns=None)
+    must auto-prefer it over the fitted model (round-2 VERDICT item #5)."""
+    path = tmp_path / "probe_table.json"
+    monkeypatch.setenv(advisor.PROBE_TABLE_ENV, str(path))
+    # nothing persisted yet -> fitted model
+    fn, source = advisor.resolve_probe_cost(None)
+    assert source == "fitted-model"
+    # persist a table that makes 512-bit blocks absurdly expensive
+    rows = []
+    for cfg in advisor._candidate_configs(N):
+        key = dict(block_bits=cfg.block_bits, sectors=cfg.sectors,
+                   zones=cfg.zones, k=cfg.k)
+        ns = 1e9 if cfg.block_bits == 512 else advisor._model_probe_ns(cfg)
+        rows.append(dict(**key, m_bits=cfg.m_bits, ns=ns))
+    advisor.save_probe_table(rows)
+    fn, source = advisor.resolve_probe_cost(None)
+    assert source == "measured-table"
+    pick = advisor.suggest_config_cost(N, 1_000.0)  # no explicit table passed
+    assert pick.block_bits != 512
+    # explicit argument still wins over the persisted table
+    _, source = advisor.resolve_probe_cost({(64, 1, 1, 4): 1.0})
+    assert source == "explicit-table"
+
+
+def test_probe_table_roundtrip(tmp_path):
+    path = tmp_path / "t.json"
+    advisor.save_probe_table(
+        [dict(block_bits=64, sectors=1, zones=1, k=4, m_bits=1 << 21, ns=17.5)],
+        path=path)
+    table = advisor.load_probe_table(path)
+    assert table == {(64, 1, 1, 4): 17.5}
+    # unreadable/malformed -> None (model fallback), never raises
+    path.write_text("not json")
+    assert advisor.load_probe_table(path) is None
 
 
 def test_measure_probe_ns_runs():

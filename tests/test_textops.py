@@ -306,3 +306,21 @@ def test_embedding_near_duplicates(vectors):
     assert (0, 7) in got, got
     for r in pairs:
         assert r["cosine"] >= 0.95
+
+
+def test_embedding_near_dup_distinct_carries_ids_only(vectors):
+    """The candidate-dedup exchange must shuffle (a, b) ids only — a pair
+    found in several LSH tables must not drag two full vectors through the
+    distinct (round-2 VERDICT perf nit)."""
+    df, _mat = vectors
+    out = simsearch.embedding_near_duplicates(
+        df, dim=32, threshold=0.95, n_tables=8, bits_per_table=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the aggregate implementing .distinct() must key on a/b and not carry
+    # the vector payload columns
+    agg_lines = [ln for ln in plan.splitlines()
+                 if "HashAggregate" in ln and "keys=[a#" in ln.replace(" ", "")]
+    assert agg_lines, plan
+    for ln in agg_lines:
+        assert "_va" not in ln and "_vb" not in ln, ln
