@@ -54,7 +54,7 @@ def main() -> None:
     target_pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     n_big = 4 * n_small
     zpath = rs.make_zip()
-    calib_ref = min(rs.spin_ms() for _ in range(7))
+    calib_ref = rs.calib_reference()
     deadline = time.time() + budget_s
     jsonl = _jsonl(n_small)
 

@@ -44,6 +44,20 @@ spin_ms_parallel = noise.spin_ms_parallel
 _clean_ratio = noise.clean_ratio
 
 
+def calib_reference() -> float:
+    """Single-spin reference anchored to the best speed this host has EVER
+    shown (BENCH/spin_floor.json, maintained by bench.py): a fresh-only
+    baseline measured during a slow hypervisor epoch would silently relax
+    every cleanliness gate by the same factor."""
+    fresh = min(spin_ms() for _ in range(7))
+    try:
+        with open(os.path.join(REPO, "BENCH", "spin_floor.json")) as fh:
+            floor = float(json.load(fh)["spin_floor_ms"])
+    except (OSError, ValueError, KeyError):
+        floor = fresh
+    return min(fresh, floor)
+
+
 def make_zip() -> str:
     zpath = os.path.join(REPO, ".cache", "sketchlib.zip")
     os.makedirs(os.path.dirname(zpath), exist_ok=True)
@@ -152,7 +166,7 @@ def main() -> None:
     min_rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     n_big = 4 * n_small
     zpath = make_zip()
-    calib_ref = min(spin_ms() for _ in range(7))
+    calib_ref = calib_reference()
 
     # interleave the two levels so both sample the same noise windows; keep
     # sampling until each level has a clean run (or the round budget is out)

@@ -12,6 +12,9 @@ just FPR/size math.
 from __future__ import annotations
 
 import math
+from collections import Counter
+
+import numpy as np
 
 from sketchlib.config import BloomConfig
 
@@ -56,27 +59,86 @@ def fpr_blocked(cfg: BloomConfig, n: int) -> float:
 
     if z == 1:
         return sum(p * _sector_pass(B, i, k, s) for i, p in _poisson_terms(lam))
+    return _fpr_zoned_exact(cfg, lam)
 
-    # zoned ([SIGMOD19] §3.3): block split into z zones of B/z bits, s/z
-    # sectors each; each key sends z hash-chosen groups of k/z bits. Zone
-    # group-arrivals given block load i are Bin(z*i, 1/z) ~= Pois(i); a probe
-    # passes iff each of its z groups finds its k/z bits set (independence
-    # approximation across the probe's zones — validated empirically in T2).
-    kpz, spz, Bz = k // z, s // z, B // z
 
-    def zone_pass(i: int) -> float:
-        # P(one probe group passes | block load i); group-arrivals a ~ Pois(i)
-        if i == 0:
-            return 0.0
-        tot = 0.0
-        for a, p in _poisson_terms(float(i)):
-            if a == 0:
-                continue
-            p_set = 1.0 - (1.0 - spz / Bz) ** (a * kpz / spz)
-            tot += p * p_set**kpz
-        return tot
+def _zone_partitions(z: int) -> list[tuple[list[int], float]]:
+    """Partitions of the probe's z i.i.d.-uniform zone choices, with the
+    probability that the choice multiset realizes each partition.
 
-    return sum(p * zone_pass(i) ** z for i, p in _poisson_terms(lam))
+    P(partition) = [z!/prod(part!)] * [z!/((z-r)! * prod(multiplicity!))] / z^z
+    (assign probe groups to parts x assign distinct zones to parts)."""
+    def parts(rem: int, cap: int):
+        if rem == 0:
+            yield []
+        for p in range(min(rem, cap), 0, -1):
+            for rest in parts(rem - p, p):
+                yield [p] + rest
+
+    out = []
+    for lam_ in parts(z, z):
+        r = len(lam_)
+        ways = math.factorial(z)
+        for p in lam_:
+            ways //= math.factorial(p)
+        sel = math.factorial(z) // math.factorial(z - r)
+        for c in Counter(lam_).values():
+            sel //= math.factorial(c)
+        out.append((lam_, ways * sel / z**z))
+    return out
+
+
+def _fpr_zoned_exact(cfg: BloomConfig, lam: float) -> float:
+    """Exact finite-B zone combinatorics ([SIGMOD19] §3.3 zoned blocks),
+    replacing round-2's two approximations: (a) per-zone group arrivals are
+    EXACTLY Multinomial(z*i, uniform) given block load i — not Pois(i); (b)
+    the probe's z zone choices can COLLIDE, in which case one zone must pass
+    several probe groups (positively correlated through its shared fill) —
+    not independent across groups.
+
+    Given block load i: G = z*i inserted groups fall i.i.d.-uniform over the
+    z zones (each key's z zone hashes are independent). A probe whose choice
+    multiset has parts (lam_1..lam_r) passes with
+    E[prod_j gp(A_j)^lam_j] over multinomial arrivals, where gp(a) =
+    (1 - (1 - 1/sector_bits)^(a*kpz/spz))^kpz is the per-group pass
+    probability at fill a (per-probed-bit independence kept, as in the
+    published blocked/sectorized forms). The expectation is computed exactly
+    from Poisson(s)-weighted coefficient series: with per-zone series
+    F_j[a] = Pois(s)(a) * gp(a)^lam_j and plain zones folded into one
+    Poisson((z-r)s) pmf, the G-th coefficient d_G of the convolution gives
+    E[.|G] = d_G * e^{zs} * G! / (s z)^G, evaluated in logs. Block-load
+    mixture stays Poisson (the standard [PSS07] blocked model)."""
+    B, z, k, s = cfg.block_bits, cfg.zones, cfg.k, cfg.sectors
+    kpz, spz = k // z, s // z
+    sector_bits = B // s
+    terms = list(_poisson_terms(lam))
+    i_max = terms[-1][0]
+    g_max = z * i_max
+    a = np.arange(g_max + 1, dtype=np.float64)
+    gp = (1.0 - (1.0 - 1.0 / sector_bits) ** (a * kpz / spz)) ** kpz
+    s_scale = max(lam, 1e-12)
+    logfact = np.r_[0.0, np.cumsum(np.log(np.arange(1, g_max + 1, dtype=np.float64)))]
+    log_pois = a * math.log(s_scale) - s_scale - logfact  # log Pois(s)(a)
+    w = np.exp(log_pois)
+
+    # E[prod f | G=g] per partition, combined over partition probabilities
+    e_given_g = np.zeros(g_max + 1)
+    for parts_, prob in _zone_partitions(z):
+        r = len(parts_)
+        series = w * gp ** parts_[0]
+        for pj in parts_[1:]:
+            series = np.convolve(series, w * gp ** pj)[: g_max + 1]
+        if z - r:
+            log_plain = (a * math.log((z - r) * s_scale) - (z - r) * s_scale
+                         - logfact)
+            series = np.convolve(series, np.exp(log_plain))[: g_max + 1]
+        g = np.arange(g_max + 1, dtype=np.float64)
+        with np.errstate(divide="ignore"):
+            log_e = (np.log(series) + z * s_scale
+                     - g * math.log(s_scale * z) + logfact)
+        e_given_g += prob * np.exp(np.minimum(log_e, 0.0))
+
+    return float(sum(p * e_given_g[z * i] for i, p in terms))
 
 
 def fpr(cfg: BloomConfig, n: int) -> float:

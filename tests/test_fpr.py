@@ -75,6 +75,67 @@ def test_empirical_fpr_matches_analytic(cfg):
     )
 
 
+_ZONED = [
+    BloomConfig(m_bits=1 << int(math.ceil(math.log2(N_KEYS * bpk))), k=k,
+                word_bits=64, words_per_block=8, sectors=s, zones=z)
+    for bpk in (8, 16)
+    for (s, z, k) in [(8, 2, 8), (8, 4, 8), (4, 2, 4), (4, 4, 4), (2, 2, 8), (8, 8, 8)]
+]
+
+
+@pytest.mark.parametrize(
+    "cfg", _ZONED, ids=lambda c: f"m{c.m_bits}s{c.sectors}z{c.zones}k{c.k}"
+)
+def test_zoned_fpr_exact_tight_ci(cfg):
+    """Round-3: the zoned analytic form is exact finite-B combinatorics
+    (multinomial zone arrivals + probe-zone collisions), so the empirical
+    FPR must sit inside a TIGHT CI — 5 sigma + 2% — across z in {2,4,8},
+    not the 10% model slack the old independence approximation needed."""
+    rng = np.random.default_rng(SEED + cfg.zones)
+    keys = np.unique(rng.integers(0, 2**30, N_KEYS * 2, dtype=np.int64))[:N_KEYS].astype(np.int32)
+    blob = bloom.build(keys, cfg)
+    assert bloom.contains_blob(keys, blob).all()  # zero FN, always
+
+    analytic = fpr.fpr(cfg, keys.size)
+    n_probes = min(max(200_000, int(80 / max(analytic, 1e-9))), 4_000_000)
+    probes = rng.integers(2**30, 2**31 - 1, n_probes, dtype=np.int64).astype(np.int32)
+    emp = float(bloom.contains_blob(probes, blob).mean())
+    sigma = math.sqrt(max(analytic, 1e-12) * (1 - analytic) / n_probes)
+    slack = 5 * sigma + 0.02 * analytic + 1e-7
+    assert abs(emp - analytic) <= slack, (
+        f"cfg={cfg}: empirical {emp:.3e} vs analytic {analytic:.3e} (slack {slack:.3e})"
+    )
+
+
+def test_zoned_exact_matches_model_monte_carlo():
+    """The exact series computation must match a direct Monte-Carlo of the
+    zone model (Poisson block load -> multinomial group arrivals -> probe
+    choices WITH collisions) — this pins the combinatorics independently of
+    the filter kernels."""
+    rng = np.random.default_rng(123)
+    trials = 300_000
+    for (z, s, k, m_bits, n) in [(2, 8, 8, 1 << 18, 20_000), (4, 4, 4, 1 << 20, 120_000)]:
+        cfg = BloomConfig(m_bits=m_bits, k=k, word_bits=64, words_per_block=8,
+                          sectors=s, zones=z)
+        kpz, spz = k // z, s // z
+        sector_bits = cfg.block_bits // s
+        lam = cfg.block_bits * n / m_bits
+        load = rng.poisson(lam, trials)
+        arrivals = rng.multinomial(z * load, [1.0 / z] * z)
+        probe_zones = rng.integers(0, z, size=(trials, z))
+        arr = np.take_along_axis(arrivals, probe_zones, axis=1)
+        gp = (1.0 - (1.0 - 1.0 / sector_bits) ** (arr * kpz / spz)) ** kpz
+        mc = float(gp.prod(axis=1).mean())
+        exact = fpr.fpr(cfg, n)
+        se = math.sqrt(mc * (1 - mc) / trials)
+        assert abs(exact - mc) <= max(5 * se, 1e-7), (z, s, k, exact, mc)
+
+
+def test_zoned_partition_probabilities_sum_to_one():
+    for z in (2, 3, 4, 8):
+        assert abs(sum(p for _, p in fpr._zone_partitions(z)) - 1.0) < 1e-12
+
+
 def test_blocking_fpr_penalty_ordering():
     """[SIGMOD19] §3: at matched m/n and k, smaller blocks and more sectors
     cost FPR — the analytic oracle must reproduce that ordering."""
