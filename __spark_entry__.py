@@ -666,6 +666,34 @@ def sk_langid(spark, sf_dir):
     )
 
 
+def sk_langid_trigram(spark, sf_dir):
+    """Char-trigram language ID vs the marker-word heuristic: per
+    (marker, trigram) prediction pair, counts plus the overall agreement
+    rate embedded in every row. The trigram scorer is the capability path
+    (real profile-based lang-ID); the marker heuristic stays as the
+    SQL-expressible oracle query (q25). Rows-only by design: the kernel's
+    accuracy on real multilingual text is asserted in tests/test_textops.py
+    against embedded ground-truth sentences."""
+    from sketchlib import textops
+
+    d = _t(spark, sf_dir, "documents")
+    markers = textops.langid_heuristic(d).select("doc_id", "lang_pred")
+    tri = textops.langid_trigram(d).select("doc_id", "lang_trigram")
+    joined = markers.join(tri, "doc_id")
+    agree = joined.agg(
+        F.avg(F.when(F.col("lang_pred") == F.col("lang_trigram"), 1.0)
+              .otherwise(0.0)).alias("agreement")
+    )
+    return (
+        joined.groupBy("lang_pred", "lang_trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(agree))
+        .select("lang_pred", "lang_trigram", "n",
+                F.round("agreement", 4).alias("agreement_rate"))
+        .orderBy("lang_pred", "lang_trigram")
+    )
+
+
 def sk_doc_fingerprints(spark, sf_dir):
     from sketchlib import textops
 
@@ -903,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_simhash_near_dups": sk_simhash_near_dups,
         "sk_ngram_jaccard_verify": sk_ngram_jaccard_verify,
         "sk_langid": sk_langid,
+        "sk_langid_trigram": sk_langid_trigram,
         "sk_doc_fingerprints": sk_doc_fingerprints,
         "sk_ann_cosine_topk": sk_ann_cosine_topk,
         "sk_ann_lsh_topk": sk_ann_lsh_topk,

@@ -410,6 +410,100 @@ def langid_heuristic(df: DataFrame, text_col: str = "text", split_pattern: str =
     return out.withColumn("lang_pred", pred)
 
 
+_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    # common ASCII character trigrams per language (space-padded word
+    # boundaries included) — public-knowledge frequency tables, embedded so
+    # the scorer needs no external data
+    "en": ("the", "he ", " th", "ing", "ng ", "and", "nd ", " an", "ed ",
+           " of", "of ", " to", "to ", "ion", " in", "in ", "er ", " is",
+           "is ", "on ", "es ", "at ", "ent", " be", " co", "tha", "hat",
+           " wa", "was", "for", " fo", "ere", " he", "his", " it", "it "),
+    "de": ("der", "er ", " de", "die", "ie ", " di", "und", "nd ", " un",
+           "ch ", "sch", " sc", "ein", " ei", "ich", "cht", "ung", "gen",
+           "das", "as ", " da", "ist", "st ", "ten", "ne ", "ber", "den",
+           "en ", "nde", " ge", "eit", "ver", " ve", "ite", "ens", "ess"),
+    "fr": (" de", "de ", "es ", "le ", " le", "ent", "nt ", "la ", " la",
+           "et ", " et", "les", "des", "ion", "on ", "que", " qu", "ue ",
+           "re ", " pa", "ait", "eur", "ous", " po", "ur ", "ne ", "e d",
+           "e l", "ans", " da", "dan", "our", " un", "une", "ais", "men"),
+    "es": (" de", "de ", "la ", " la", "os ", "el ", " el", "que", " qu",
+           "ue ", "en ", " en", "es ", "as ", "los", " lo", "ion", "nte",
+           "ado", " es", "era", "ar ", "una", " un", "con", " co", "por",
+           " po", "cio", "aci", "dad", "nto", "sta", " se", "se ", "res"),
+}
+
+
+def _trigram_codes(tris: tuple[str, ...]) -> np.ndarray:
+    codes = np.array(
+        [(ord(t[0]) << 16) | (ord(t[1]) << 8) | ord(t[2]) for t in tris],
+        dtype=np.int64,
+    )
+    return np.sort(codes)
+
+
+def langid_trigram(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Char-trigram language ID — the capability upgrade over the
+    SQL-expressible marker-word heuristic (``langid_heuristic``): per
+    language, count occurrences of its common trigrams (word-boundary
+    spaces included) and predict the argmax, 'und' when nothing matches.
+
+    Kernel: zero-copy Arrow byte buffer -> packed 24-bit trigram codes via
+    shifted views (document-boundary trigrams masked out) -> sorted
+    ``np.isin`` per language -> per-doc bincount. O(total_bytes x langs),
+    no per-row Python."""
+    import pyarrow.compute as pc
+
+    in_type = df.schema[id_col].dataType.simpleString()
+    langs = list(_TRIGRAM_PROFILES)
+    profiles = {lg: _trigram_codes(t) for lg, t in _TRIGRAM_PROFILES.items()}
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            arr = batch.column(text_col)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            arr = pc.coalesce(arr, "")
+            barr = arr.cast(pa.large_binary())
+            n = len(barr)
+            bufs = barr.buffers()
+            offs = np.frombuffer(bufs[1], dtype=np.int64)[barr.offset: barr.offset + n + 1]
+            if bufs[2] is not None and offs[-1] > offs[0]:
+                data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0]: offs[-1]]
+            else:
+                data = np.empty(0, dtype=np.uint8)
+            starts = (offs[:-1] - offs[0]).astype(np.int64)
+            lens = np.diff(offs).astype(np.int64)
+            scores = np.zeros((n, len(langs)), dtype=np.float64)
+            total = data.shape[0]
+            if total >= 3:
+                d = data.astype(np.int64)
+                codes = (d[:-2] << 16) | (d[1:-1] << 8) | d[2:]
+                pos = np.arange(total - 2, dtype=np.int64)
+                row = np.repeat(np.arange(n, dtype=np.int64), lens)[: total - 2]
+                # a trigram at pos p belongs to row r only if it fits inside
+                # the row's own bytes (no cross-document trigrams)
+                valid = pos + 3 <= starts[row] + lens[row]
+                denom = np.maximum(lens - 2, 1).astype(np.float64)
+                for j, lg in enumerate(langs):
+                    hit = valid & np.isin(codes, profiles[lg])
+                    scores[:, j] = np.bincount(row[hit], minlength=n) / denom
+            best = scores.max(axis=1)
+            pred_idx = scores.argmax(axis=1)
+            pred = np.where(best <= 0.0, "und",
+                            np.array(langs, dtype=object)[pred_idx])
+            cols = [batch.column(id_col), pa.array(pred, type=pa.string())]
+            names = [id_col, "lang_trigram"]
+            for j, lg in enumerate(langs):
+                cols.append(pa.array(scores[:, j]))
+                names.append(f"tscore_{lg}")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    score_schema = ", ".join(f"tscore_{lg} double" for lg in langs)
+    return df.select(id_col, F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+                     .alias(text_col)).mapInArrow(
+        fn, f"{id_col} {in_type}, lang_trigram string, {score_schema}")
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio / mean-word-length features +
     a composite quality score — all built-in SQL functions (JVM-side)."""

@@ -216,6 +216,43 @@ def test_simhash_empty_tail_doc_batch_independent(spark):
     assert got[1] == 0 and got[5] == 0
 
 
+def test_langid_trigram_real_sentences(spark):
+    """The trigram scorer must classify real sentences in all four profiled
+    languages — the capability the marker heuristic cannot deliver on text
+    that avoids the exact marker words."""
+    samples = [
+        (0, "The committee was established to review the proposal and the findings", "en"),
+        (1, "She walked through the garden thinking about everything that happened", "en"),
+        (2, "Die Entscheidung wurde nach einer langen Sitzung der Kommission getroffen", "de"),
+        (3, "Ich habe das Buch gestern in der Bibliothek gelesen und verstanden", "de"),
+        (4, "Le gouvernement a annonce que les mesures seraient appliquees rapidement", "fr"),
+        (5, "Les enfants jouaient dans le parc pendant que leurs parents discutaient", "fr"),
+        (6, "El presidente declaro que la situacion economica estaba mejorando lentamente", "es"),
+        (7, "Los estudiantes presentaron sus proyectos durante la conferencia anual", "es"),
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t, _ in samples]).coalesce(1)
+    got = {r["doc_id"]: r["lang_trigram"] for r in textops.langid_trigram(df).collect()}
+    for i, _t, want in samples:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_langid_trigram_empty_and_batch_independent(spark):
+    """Empty/unmatchable docs -> 'und'; per-doc scores must not depend on
+    batch composition (boundary trigrams are masked, empty tails safe)."""
+    texts = ["the committee and the board", "", "zzz qqq xxx", "   "]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]).coalesce(1)
+    got = {r["doc_id"]: (r["lang_trigram"], r["tscore_en"])
+           for r in textops.langid_trigram(df).collect()}
+    assert got[0][0] == "en"
+    assert got[1][0] == "und" and got[2][0] == "und" and got[3][0] == "und"
+    for i, t in enumerate(texts):
+        alone_df = spark.createDataFrame([Row(doc_id=i, text=t)]).coalesce(1)
+        alone = alone_df.transform(textops.langid_trigram).collect()[0]
+        assert (alone["lang_trigram"], alone["tscore_en"]) == got[i], (i, t)
+
+
 # ---------- similarity search ---------------------------------------------------
 
 @pytest.fixture(scope="module")
