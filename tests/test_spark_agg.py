@@ -213,3 +213,66 @@ def test_hll_sparse_high_cardinality_grouped_build(spark):
         est = hll.estimate_blob(bytes(r["blob"]))
         assert abs(est - 3.0) < 0.5, (r["group"], est)  # 3 distinct values/group
         assert len(r["blob"]) < 200  # sparse blob, not 2^18 registers
+
+
+def test_arrow_scan_fast_path_parity(spark, tmp_path):
+    """build_sketches_files (pyarrow file scan) must agree with the
+    DataFrame path: byte-identical blobs for the layout-invariant sketches
+    (bloom OR, hll max, cms add), estimate-level parity for the
+    chunking-sensitive compactor sketches (kll, tdigest)."""
+    path = str(tmp_path / "corpus")
+    datagen.corpus_df(spark, 4_000, partitions=6).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    specs = [
+        agg.SketchSpec("bloom", BloomConfig(m_bits=1 << 20, k=8, word_bits=64,
+                                            words_per_block=8, sectors=8), "tokens"),
+        agg.SketchSpec("hll", HLLConfig(p=12), "tokens"),
+        agg.SketchSpec("cms", CMSConfig(eps=0.001, delta=0.01), "tokens"),
+        agg.SketchSpec("kll", KLLConfig(k=200), "n_tok"),
+        agg.SketchSpec("tdigest", TDigestConfig(compression=100), "n_tok"),
+    ]
+    ref = agg.collect_blobs(agg.build_sketches(df, specs))
+    fast = agg.collect_blobs(agg.build_sketches_files(spark, path, specs))
+    assert set(ref) == set(fast)
+    for name in ("bloom", "hll", "cms"):
+        assert ref[(name, "")] == fast[(name, "")], name
+    qs = [0.1, 0.5, 0.9]
+    k_ref, k_fast = kll.quantiles_blob(ref[("kll", "")], qs), kll.quantiles_blob(fast[("kll", "")], qs)
+    t_ref, t_fast = tdigest.quantiles_blob(ref[("tdigest", "")], qs), tdigest.quantiles_blob(fast[("tdigest", "")], qs)
+    span = float(df.agg(F.max("n_tok") - F.min("n_tok")).collect()[0][0])
+    assert np.all(np.abs(k_ref - k_fast) <= 0.02 * span + 2), (k_ref, k_fast)
+    assert np.all(np.abs(t_ref - t_fast) <= 0.02 * span + 2), (t_ref, t_fast)
+
+
+def test_arrow_scan_fast_path_grouped_and_deterministic(spark, tmp_path):
+    path = str(tmp_path / "corpus_g")
+    datagen.corpus_df(spark, 3_000, partitions=5).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    spec = [agg.SketchSpec("hll_g", HLLConfig(p=12), "tokens")]
+    ref = agg.collect_blobs(agg.build_sketches(df, spec, group_by="source"))
+    fast1 = agg.collect_blobs(agg.build_sketches_files(spark, path, spec, group_by="source"))
+    fast2 = agg.collect_blobs(agg.build_sketches_files(spark, path, spec, group_by="source"))
+    assert ref == fast1 == fast2  # hll is layout-invariant AND runs repeatable
+
+
+def test_arrow_scan_fast_path_file_lineage(spark, tmp_path):
+    """Partials are keyed by file index — data-derived lineage, one partial
+    per (sketch, file)."""
+    path = str(tmp_path / "corpus_l")
+    datagen.corpus_df(spark, 2_000, partitions=4).write.mode("overwrite").parquet(path)
+    files = agg.list_data_files(spark, path)
+    assert 1 <= len(files) <= 4 and all(f.endswith(".parquet") for f in files)
+    partials = agg.build_partials_files(
+        spark, path, [agg.SketchSpec("hll", HLLConfig(p=10), "tokens")]).collect()
+    # one partial per NON-EMPTY file, keyed by its index in the sorted listing
+    parts = sorted(r["part"] for r in partials)
+    assert parts == sorted(set(parts)) and set(parts) <= set(range(len(files)))
+    assert sum(r["rows"] for r in partials) == 2_000
+
+
+def test_auto_fanout_sizing():
+    small = [agg.SketchSpec("hll", HLLConfig(p=12), "tokens")]
+    huge = [agg.SketchSpec("bloom", BloomConfig(m_bits=1 << 30, k=8, word_bits=64,
+                                                words_per_block=8, sectors=8), "tokens")]
+    assert agg._auto_fanout(small) == 4096  # KB blobs: one-level merge
+    assert agg._auto_fanout(huge) == 4      # 128 MB blobs: real tree (min clamp)
