@@ -112,7 +112,7 @@ def main() -> None:
     # global cap on gate-wait + retry overhead so a noisy/slow host cannot
     # blow the bench past the driver's time budget: once spent, queries run
     # once with no pre-wait and carry their (possibly dirty) flags honestly
-    noise_budget = [150.0]
+    noise_budget = [240.0]
 
     def timed(name: str, fn, retries: int = 3):
         """Measure fn in a verifiably clean window: pre-gate on gate_cores

@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--cache-dir", default=None)
     ap.add_argument("--partitions", type=int, default=256)
     ap.add_argument("--m-bits", type=int, default=1 << 21)
+    ap.add_argument("--engine", choices=("df", "arrow"), default="df",
+                    help="df = DataFrame scan (r1/r2 ladder continuity); "
+                         "arrow = pyarrow file-scan fast path (round 3)")
     args = ap.parse_args()
 
     cores = int(args.master.split("[")[1].rstrip("]")) if "[" in args.master else 32
@@ -79,14 +82,20 @@ def main() -> None:
         with open("/proc/stat") as fh:
             return list(map(int, fh.readline().split()[1:9]))
 
+    if args.engine == "arrow":
+        build = lambda ss: agg.collect_blobs(  # noqa: E731
+            agg.build_sketches_files(spark, corpus_path, ss))
+    else:
+        build = lambda ss: agg.collect_blobs(agg.build_sketches(corpus, ss))  # noqa: E731
+
     # warm-up (JVM + python workers + page cache), then measured run.
     # /proc/stat is snapshotted around EXACTLY the measured section so noise
     # (hypervisor steal, external busy cores) is attributed to the timed
     # window, not to JVM startup or warm-up.
-    agg.collect_blobs(agg.build_sketches(corpus, specs[:1]))
+    build(specs[:1])
     c0 = _cpu_times()
     t0 = time.perf_counter()
-    blobs = agg.collect_blobs(agg.build_sketches(corpus, specs))
+    blobs = build(specs)
     wall = time.perf_counter() - t0
     c1 = _cpu_times()
     d = [y - x for x, y in zip(c0, c1)]
@@ -97,6 +106,7 @@ def main() -> None:
     print(json.dumps({
         "master": args.master,
         "cores": cores,
+        "engine": args.engine,
         "n_docs": args.n_docs,
         "total_tokens": total_tokens,
         "wall_s": round(wall, 3),

@@ -24,9 +24,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import run_scaling as rs  # noqa: E402
 
-def _jsonl(n_small: int) -> str:
-    # one file per (N, 4N) pair so different ladders don't mix on resume
-    return os.path.join(rs.REPO, "BENCH", f"scaling_runs_{n_small}v{4 * n_small}.jsonl")
+def _jsonl(n_small: int, engine: str = "df") -> str:
+    # one file per (N, 4N, engine) so different ladders don't mix on resume
+    suffix = "" if engine == "df" else f"_{engine}"
+    return os.path.join(
+        rs.REPO, "BENCH", f"scaling_runs_{n_small}v{4 * n_small}{suffix}.jsonl")
 
 
 def _append(path: str, rec: dict) -> None:
@@ -52,11 +54,12 @@ def main() -> None:
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     budget_s = int(sys.argv[3]) if len(sys.argv) > 3 else 7200
     target_pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    engine = sys.argv[5] if len(sys.argv) > 5 else "df"
     n_big = 4 * n_small
     zpath = rs.make_zip()
     calib_ref = rs.calib_reference()
     deadline = time.time() + budget_s
-    jsonl = _jsonl(n_small)
+    jsonl = _jsonl(n_small, engine)
 
     runs_n, runs_4n = _load(jsonl)
 
@@ -71,11 +74,11 @@ def main() -> None:
         # quiet RIGHT NOW — fire the pair (run_one re-gates internally, which
         # is instant when still quiet)
         try:
-            r = rs.run_one(f"local[{n_small}]", zpath, n_docs, calib_ref, n_big)
+            r = rs.run_one(f"local[{n_small}]", zpath, n_docs, calib_ref, n_big, engine)
             r["_level"] = "n"
             runs_n.append(r)
             _append(jsonl, r)
-            r = rs.run_one(f"local[{n_big}]", zpath, n_docs, calib_ref, n_big)
+            r = rs.run_one(f"local[{n_big}]", zpath, n_docs, calib_ref, n_big, engine)
             r["_level"] = "4n"
             runs_4n.append(r)
             _append(jsonl, r)

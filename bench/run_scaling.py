@@ -76,7 +76,7 @@ _CLK = noise._CLK
 
 
 def run_one(master: str, zpath: str, n_docs: int, calib_ref: float,
-            gate_cores: int) -> dict:
+            gate_cores: int, engine: str = "df") -> dict:
     pre = wait_n_cores_free(gate_cores, calib_ref)
     cmd = [
         "spark-submit",
@@ -86,6 +86,7 @@ def run_one(master: str, zpath: str, n_docs: int, calib_ref: float,
         os.path.join(REPO, "bench", "bench_sketch.py"),
         "--master", master,
         "--n-docs", str(n_docs),
+        "--engine", engine,
     ]
     # Tenant detection while the child runs: every 2 s compare the host's
     # INSTANTANEOUS busy-core count (from /proc/stat deltas — 1-min loadavg
