@@ -666,6 +666,55 @@ def sk_langid(spark, sf_dir):
     )
 
 
+def sk_build_arrow_scan(spark, sf_dir):
+    """Arrow-native file-scan build (round 3 fast path) self-verified
+    against the canonical DataFrame-scan build on the same parquet corpus:
+    byte-identical blobs for the layout-invariant sketches (bloom/hll/cms),
+    estimate-level parity for the chunking-sensitive compactors
+    (kll/tdigest). Rows-only by design (engine comparison, not SQL).
+
+    The fast path exists because the mapInArrow input detour
+    (parquet -> InternalRow -> Arrow) measures ~6x the task CPU of a
+    pyarrow columnar decode of the same files; at 100 TB the file listing
+    comes from Iceberg metadata tables instead of a directory walk."""
+    import os
+    import tempfile
+
+    from sketchlib import agg, datagen, hll, kll, tdigest
+    from sketchlib.config import (
+        BloomConfig, CMSConfig, HLLConfig, KLLConfig, TDigestConfig,
+    )
+
+    path = os.path.join(tempfile.gettempdir(), "sketchlib_arrow_scan_corpus")
+    datagen.corpus_df(spark, 2_000, partitions=4).write.mode("overwrite").parquet(path)
+    corpus = spark.read.parquet(path)
+    specs = [
+        agg.SketchSpec("bloom", BloomConfig(m_bits=1 << 20, k=8, word_bits=64,
+                                            words_per_block=8, sectors=8), "tokens"),
+        agg.SketchSpec("hll", HLLConfig(p=13), "tokens"),
+        agg.SketchSpec("cms", CMSConfig(eps=0.001, delta=0.01), "tokens"),
+        agg.SketchSpec("kll", KLLConfig(k=200), "n_tok"),
+        agg.SketchSpec("tdigest", TDigestConfig(compression=100), "n_tok"),
+    ]
+    ref = agg.collect_blobs(agg.build_sketches(corpus, specs))
+    fast = agg.collect_blobs(agg.build_sketches_files(spark, path, specs))
+    est = {
+        "hll": lambda b: float(hll.estimate_blob(b)),
+        "kll": lambda b: float(kll.quantiles_blob(b, [0.5])[0]),
+        "tdigest": lambda b: float(tdigest.quantiles_blob(b, [0.5])[0]),
+    }
+    rows = []
+    for (name, group) in sorted(ref):
+        e = est.get(name, lambda b: float(len(b)))
+        rows.append(Row(
+            sketch=name,
+            byte_identical=bool(ref[(name, group)] == fast[(name, group)]),
+            est_df=e(ref[(name, group)]),
+            est_arrow=e(fast[(name, group)]),
+        ))
+    return spark.createDataFrame(rows)
+
+
 def sk_langid_trigram(spark, sf_dir):
     """Char-trigram language ID vs the marker-word heuristic: per
     (marker, trigram) prediction pair, counts plus the overall agreement
@@ -932,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_ngram_jaccard_verify": sk_ngram_jaccard_verify,
         "sk_langid": sk_langid,
         "sk_langid_trigram": sk_langid_trigram,
+        "sk_build_arrow_scan": sk_build_arrow_scan,
         "sk_doc_fingerprints": sk_doc_fingerprints,
         "sk_ann_cosine_topk": sk_ann_cosine_topk,
         "sk_ann_lsh_topk": sk_ann_lsh_topk,
