@@ -421,6 +421,22 @@ def build_partials_files(
     files = list_data_files(spark, path) if isinstance(path, str) else sorted(path)
     if not files:
         raise SketchConfigError(f"no parquet data files under {path}")
+    return build_partials_files_indexed(
+        spark, list(enumerate(files)), specs, group_by, batch_size)
+
+
+def build_partials_files_indexed(
+    spark,
+    pairs: list[tuple[int, str]],
+    specs: list[SketchSpec],
+    group_by: str | None = None,
+    batch_size: int = 1 << 16,
+) -> DataFrame:
+    """Fast-path partials over explicit ``(file_index, file_path)`` pairs —
+    the resume seam: a checkpointed job re-runs only the missing file
+    indices while keeping their original lineage ids."""
+    if not specs:
+        raise SketchConfigError("no sketch specs given")
     cols = sorted({s.col for s in specs} | ({group_by} if group_by else set()))
     inner = _build_partials_fn(specs, group_by, part_col=_FILE_PART)
 
@@ -444,9 +460,9 @@ def build_partials_files(
                             pa.array(np.full(rb.num_rows, fidx, dtype=np.int64)))
         yield from inner(gen())
 
-    n_tasks = min(len(files), int(spark.sparkContext.defaultParallelism) * 2)
+    n_tasks = min(len(pairs), int(spark.sparkContext.defaultParallelism) * 2)
     paths_df = spark.createDataFrame(
-        [(i, f) for i, f in enumerate(files)], "idx long, path string"
+        [(int(i), f) for i, f in pairs], "idx long, path string"
     ).repartition(n_tasks, "idx")
     return paths_df.mapInArrow(scan_fn, PARTIAL_SCHEMA)
 

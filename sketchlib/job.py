@@ -220,6 +220,72 @@ def lineage(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     )
 
 
+@dataclass(frozen=True)
+class FileJobSpec:
+    """Job spec for the Arrow file-scan fast path: the unit of checkpointed
+    progress is one input FILE (lineage id = index in the pinned sorted
+    file listing — data-derived, stable under cluster resizing)."""
+
+    specs: tuple[SketchSpec, ...]
+    files: tuple[str, ...]
+    group_by: str | None = None
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "specs": [
+                    {"name": s.name, "cfg": s.cfg.to_json(), "col": s.col} for s in self.specs
+                ],
+                "files": list(self.files),
+                "group_by": self.group_by,
+            },
+            sort_keys=True,
+        )
+
+
+def run_files(
+    spark: SparkSession,
+    path: str,
+    specs: list[SketchSpec],
+    checkpoint_dir: str,
+    group_by: str | None = None,
+) -> DataFrame:
+    """Resumable fast-path build: pyarrow file scan, one durable partial per
+    (sketch[, group], file). The file listing is PINNED in the job meta on
+    first run, so a resume sees the same lineage ids even if files were
+    added to the directory since (a changed listing is a different job).
+    Re-runs only missing file indices; duplicate appends from racing resumes
+    dedup exactly (byte-identical by determinism). Files with zero rows
+    yield no partial and are harmlessly re-scanned on resume (empty scan)."""
+    _fs_mkdirs(spark, checkpoint_dir)
+    files = tuple(agg.list_data_files(spark, path))
+    job = FileJobSpec(specs=tuple(specs), files=files, group_by=group_by)
+    meta_p = _meta_path(checkpoint_dir)
+    if _fs_exists(spark, meta_p):
+        existing = _fs_read_text(spark, meta_p)
+        if existing != job.to_json():
+            raise SketchConfigError(
+                f"checkpoint at {checkpoint_dir} was created by a different "
+                "file-job spec (sketches, grouping, or input file listing changed)"
+            )
+    else:
+        _fs_write_text(spark, meta_p, job.to_json())
+
+    done = completed_parts(spark, checkpoint_dir)
+    remaining = [(i, f) for i, f in enumerate(files) if i not in done]
+    if remaining:
+        partials = agg.build_partials_files_indexed(spark, remaining, list(specs), group_by)
+        partials.write.mode("append").parquet(_partials_path(checkpoint_dir))
+
+    merged = spark.read.parquet(_partials_path(checkpoint_dir))
+    merged = merged.dropDuplicates(["sketch", "group", "part"])
+    fanout = agg._auto_fanout(list(specs))
+    levels = 1
+    while fanout**levels < max(len(files), 1):
+        levels += 1
+    return agg.merge_partials(merged, fanout=fanout, levels=levels)
+
+
 def run_with_kill(
     spark: SparkSession,
     df: DataFrame,

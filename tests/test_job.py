@@ -105,3 +105,50 @@ def test_salted_partitions_are_balanced(spark, corpus):
     assert len(counts) == j.num_partitions
     mean = sum(counts) / len(counts)
     assert max(counts) < 1.35 * mean and min(counts) > 0.65 * mean
+
+
+def test_file_job_resume_after_kill_byte_identical(spark, corpus, tmp_path_factory):
+    """Fast-path (Arrow file-scan) resume: kill after only some FILES have
+    checkpointed partials; a resumed run rebuilds only the missing files and
+    the final blobs equal an uninterrupted run's byte-for-byte."""
+    src = str(tmp_path_factory.mktemp("filejob_src"))
+    corpus.repartition(4).write.mode("overwrite").parquet(src)
+    specs = [
+        agg.SketchSpec("bloom", BloomConfig(m_bits=1 << 18, k=4), "tokens"),
+        agg.SketchSpec("hll", HLLConfig(p=11), "tokens"),
+    ]
+    files = agg.list_data_files(spark, src)
+    assert len(files) >= 2
+
+    # uninterrupted reference
+    ck_ref = str(tmp_path_factory.mktemp("filejob_ref"))
+    ref = {(r["sketch"], r["group"]): bytes(r["blob"])
+           for r in job.run_files(spark, src, specs, ck_ref).collect()}
+
+    # "killed" run: only file 0's partial written, then resume
+    ck = str(tmp_path_factory.mktemp("filejob_kill"))
+    job._fs_mkdirs(spark, ck)
+    pinned = job.FileJobSpec(specs=tuple(specs), files=tuple(files))
+    job._fs_write_text(spark, job._meta_path(ck), pinned.to_json())
+    agg.build_partials_files_indexed(spark, [(0, files[0])], specs).write.mode(
+        "append").parquet(job._partials_path(ck))
+    assert job.completed_parts(spark, ck) <= {0}
+
+    resumed = {(r["sketch"], r["group"]): bytes(r["blob"])
+               for r in job.run_files(spark, src, specs, ck).collect()}
+    assert resumed == ref
+    # lineage shows one partial per non-empty file
+    parts = {r["part"] for r in job.lineage(spark, ck).collect()}
+    assert parts <= set(range(len(files))) and len(parts) >= 1
+
+
+def test_file_job_changed_listing_rejected(spark, corpus, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("filejob_src2"))
+    corpus.repartition(2).write.mode("overwrite").parquet(src)
+    specs = [agg.SketchSpec("hll", HLLConfig(p=11), "tokens")]
+    ck = str(tmp_path_factory.mktemp("filejob_meta"))
+    job.run_files(spark, src, specs, ck).collect()
+    # adding a file changes the pinned listing -> different job
+    corpus.limit(10).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(SketchConfigError):
+        job.run_files(spark, src, specs, ck)
