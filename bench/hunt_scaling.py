@@ -57,31 +57,62 @@ def main() -> None:
     engine = sys.argv[5] if len(sys.argv) > 5 else "df"
     n_big = 4 * n_small
     zpath = rs.make_zip()
-    calib_ref = rs.calib_reference()
+    floor = rs.spin_floor()
     deadline = time.time() + budget_s
     jsonl = _jsonl(n_small, engine)
 
     runs_n, runs_4n = _load(jsonl)
+    pair_id = 1 + max(
+        [r.get("_pair", 0) for r in runs_n + runs_4n] or [0]
+    )
+
+    def _epoch() -> float:
+        """Median single-spin right now (ms) — the CURRENT epoch speed."""
+        return sorted(rs.spin_ms() for _ in range(3))[1]
 
     def clean_pairs() -> int:
-        return min(sum(r["clean"] for r in runs_n), sum(r["clean"] for r in runs_4n))
+        # epoch-matched clean pairs (new protocol) count first; legacy
+        # samples (no _pair) count via the old per-level clean minimum
+        matched = {r["_pair"] for r in runs_n
+                   if r.get("clean") and r.get("epoch_matched")}
+        matched &= {r["_pair"] for r in runs_4n
+                    if r.get("clean") and r.get("epoch_matched")}
+        legacy = min(
+            sum(bool(r["clean"]) for r in runs_n if "_pair" not in r),
+            sum(bool(r["clean"]) for r in runs_4n if "_pair" not in r),
+        )
+        return len(matched) + legacy
 
+    # Epoch-relative hunting (round 3): scaling efficiency is a RATIO, so a
+    # pair measured wholly inside one stable host epoch is valid evidence
+    # even when the epoch is slow — what invalidates a pair is an epoch FLIP
+    # between its legs, or tenant contention inside a leg. Gate tenant
+    # quietness against the CURRENT epoch's single-spin (free cores now),
+    # record each leg's epoch factor vs the all-time floor, and mark the
+    # pair epoch_matched iff the two factors agree within 15%.
     while time.time() < deadline and clean_pairs() < target_pairs:
-        s = rs.spin_ms_parallel(n_big)
-        if s > rs._clean_ratio(n_big) * calib_ref:
+        s1 = _epoch()
+        sN = rs.spin_ms_parallel(n_big)
+        if sN > rs._clean_ratio(n_big) * s1:
             time.sleep(20)
             continue
-        # quiet RIGHT NOW — fire the pair (run_one re-gates internally, which
-        # is instant when still quiet)
         try:
-            r = rs.run_one(f"local[{n_small}]", zpath, n_docs, calib_ref, n_big, engine)
-            r["_level"] = "n"
+            e1 = s1 / floor
+            r = rs.run_one(f"local[{n_small}]", zpath, n_docs, s1, n_big, engine)
+            r["_level"], r["_pair"] = "n", pair_id
+            r["epoch_factor"] = round(e1, 2)
+            s2 = _epoch()
+            e2 = s2 / floor
+            r2 = rs.run_one(f"local[{n_big}]", zpath, n_docs, s2, n_big, engine)
+            r2["_level"], r2["_pair"] = "4n", pair_id
+            r2["epoch_factor"] = round(e2, 2)
+            matched = abs(e1 - e2) <= 0.15 * min(e1, e2)
+            r["epoch_matched"] = r2["epoch_matched"] = matched
             runs_n.append(r)
             _append(jsonl, r)
-            r = rs.run_one(f"local[{n_big}]", zpath, n_docs, calib_ref, n_big, engine)
-            r["_level"] = "4n"
-            runs_4n.append(r)
-            _append(jsonl, r)
+            runs_4n.append(r2)
+            _append(jsonl, r2)
+            pair_id += 1
         except Exception as e:  # noqa: BLE001 — keep hunting through sporadic failures
             _append(jsonl, {"_level": "error", "error": str(e)[:500]})
             time.sleep(30)

@@ -44,18 +44,22 @@ spin_ms_parallel = noise.spin_ms_parallel
 _clean_ratio = noise.clean_ratio
 
 
-def calib_reference() -> float:
-    """Single-spin reference anchored to the best speed this host has EVER
-    shown (BENCH/spin_floor.json, maintained by bench.py): a fresh-only
-    baseline measured during a slow hypervisor epoch would silently relax
-    every cleanliness gate by the same factor."""
-    fresh = min(spin_ms() for _ in range(7))
+def spin_floor() -> float:
+    """Best single-spin this host has EVER shown (BENCH/spin_floor.json,
+    maintained by bench.py); falls back to a fresh measurement."""
     try:
         with open(os.path.join(REPO, "BENCH", "spin_floor.json")) as fh:
-            floor = float(json.load(fh)["spin_floor_ms"])
+            return float(json.load(fh)["spin_floor_ms"])
     except (OSError, ValueError, KeyError):
-        floor = fresh
-    return min(fresh, floor)
+        return min(spin_ms() for _ in range(7))
+
+
+def calib_reference() -> float:
+    """Single-spin reference anchored to the best speed this host has EVER
+    shown: a fresh-only baseline measured during a slow hypervisor epoch
+    would silently relax every cleanliness gate by the same factor."""
+    fresh = min(spin_ms() for _ in range(7))
+    return min(fresh, spin_floor())
 
 
 def make_zip() -> str:
@@ -197,11 +201,53 @@ def _best(runs: list[dict]) -> tuple[dict, bool]:
     return b, bool(clean)
 
 
+def _pairwise_md(runs_n: list[dict], runs_4n: list[dict]) -> tuple[str, float | None]:
+    """Markdown table of per-pair efficiencies for epoch-tagged samples
+    (round-3 protocol: both legs of a pair share one host epoch, so their
+    ratio is valid scaling evidence even in a slow epoch). Returns the md
+    and the eff of the highest-throughput CLEAN MATCHED pair."""
+    pairs: dict[int, dict] = {}
+    for r in runs_n:
+        if "_pair" in r:
+            pairs.setdefault(r["_pair"], {})["n"] = r
+    for r in runs_4n:
+        if "_pair" in r:
+            pairs.setdefault(r["_pair"], {})["4n"] = r
+    rows, best = [], None
+    for pid, legs in sorted(pairs.items()):
+        if "n" not in legs or "4n" not in legs:
+            continue
+        a, b = legs["n"], legs["4n"]
+        eff_p = (b["tokens_per_sec"] / a["tokens_per_sec"]) / 4.0
+        ok = bool(a["clean"] and b["clean"] and a.get("epoch_matched"))
+        rows.append(
+            f"| {pid} | {a['tokens_per_sec']:,.0f} | {b['tokens_per_sec']:,.0f} "
+            f"| {a.get('epoch_factor', '-')} / {b.get('epoch_factor', '-')} "
+            f"| {'yes' if ok else 'no'} | {eff_p:.3f} |")
+        if ok and (best is None or b["tokens_per_sec"] > best[1]):
+            best = (eff_p, b["tokens_per_sec"])
+    if not rows:
+        return "", None
+    md = (
+        "\n### Epoch-matched pairwise efficiencies (round-3 protocol)\n\n"
+        "Each pair's two legs ran back-to-back inside one verified host\n"
+        "epoch (single-spin factors vs the all-time floor agree within 15%),\n"
+        "with tenant-quiet gates relative to that epoch — so the N->4N ratio\n"
+        "is valid even when the epoch itself is slow. `clean+matched = yes`\n"
+        "pairs are the admissible evidence.\n\n"
+        "| pair | N tokens/s | 4N tokens/s | epoch factor N / 4N | clean+matched | eff |\n"
+        "|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n")
+    if best is not None:
+        md += f"\n**Best clean epoch-matched pair: eff = {best[0]:.3f}.**\n"
+    return md, (best[0] if best else None)
+
+
 def write_baseline_md(runs_n: list[dict], runs_4n: list[dict],
                       n_small: int, n_big: int) -> str:
     (r_n, n_clean), (r_4n, b_clean) = _best(runs_n), _best(runs_4n)
     t_n, t_4n = r_n["tokens_per_sec"], r_4n["tokens_per_sec"]
     eff = (t_4n / t_n) / 4.0
+    pair_md, _pair_eff = _pairwise_md(runs_n, runs_4n)
     trust = "both levels measured in CLEAN windows" if (n_clean and b_clean) else (
         "WARNING: no clean window found for at least one level — efficiency "
         "below reflects tenant contention, not the code; re-run when quiet")
@@ -235,7 +281,7 @@ listed for honesty. {trust}.
 | local[{n_big}] (4N) | {r_4n['wall_s']} | {t_4n:,.0f} | {[(r['tokens_per_sec'], r['clean']) for r in runs_4n]} |
 
 **Scaling efficiency eff = (T_4N / T_N) / 4 = {eff:.3f}** (target >= 0.8).
-
+{pair_md}
 Previous pair (round 1, same protocol, loadavg-gated best-of-4): local[1]
 8,679,007 tokens/s vs local[4] 30,784,129 -> eff 0.887.
 
