@@ -32,6 +32,8 @@ def _best(runs):
 def main() -> None:
     ladders = []
     for path in sorted(glob.glob(os.path.join(rs.REPO, "BENCH", "scaling_runs_*.jsonl"))):
+        if "sidecar" in path:  # quarantined mixed-input samples, not a ladder
+            continue
         rows = [json.loads(l) for l in open(path) if '"error"' not in l]
         runs_n = [r for r in rows if r.get("_level") == "n"]
         runs_4n = [r for r in rows if r.get("_level") == "4n"]
@@ -39,6 +41,7 @@ def main() -> None:
             continue
         n_small = runs_n[0]["cores"]
         (bn, n_clean), (b4, b_clean) = _best(runs_n), _best(runs_4n)
+        pair_md, pair_eff = rs._pairwise_md(runs_n, runs_4n)
         ladders.append({
             "n_small": n_small, "n_big": 4 * n_small,
             "t_n": bn["tokens_per_sec"], "t_4n": b4["tokens_per_sec"],
@@ -47,10 +50,13 @@ def main() -> None:
             "all_n": [(r["tokens_per_sec"], r["clean"]) for r in runs_n],
             "all_4n": [(r["tokens_per_sec"], r["clean"]) for r in runs_4n],
             "dirty_best_4n": max((r["tokens_per_sec"] for r in runs_4n), default=0.0),
+            "pair_md": pair_md, "pair_eff": pair_eff,
+            "engine": runs_n[-1].get("engine", "df"),
+            "file": os.path.basename(path),
         })
 
     lines = []
-    lines.append("# BENCH/BASELINE — measured scaling evidence (rounds 1-2)\n")
+    lines.append("# BENCH/BASELINE — measured scaling evidence (rounds 1-3)\n")
     lines.append("""
 Protocol: BASELINE.md part 2 / north rule (BASELINE.json:14). The same
 five-sketch distributed build (Bloom m=2^21 k=8 B=512 s=8, HLL p=14,
@@ -72,6 +78,15 @@ plus hypervisor steal%; (3) closed with a post-run spin. A run is CLEAN iff
 all pass; 1-min loadavg is deliberately unused (an EMA that sub-minute
 bursts barely move). The hunter fires pairs only in detected-quiet windows
 and persists every sample (BENCH/scaling_runs_*.jsonl).
+
+Round-3 addition — EPOCH-MATCHED PAIRS: this VM's per-core speed is bimodal
+(hypervisor frequency/co-scheduling epochs, 2-2.8x, lasting hours, invisible
+to steal/busy telemetry). Efficiency is a ratio, so a pair whose two legs
+ran back-to-back inside ONE stable epoch is valid evidence even in a slow
+epoch; what invalidates a pair is an epoch flip between legs. Pair-tagged
+samples carry each leg's epoch factor (single-spin vs the all-time floor in
+BENCH/spin_floor.json) and `epoch_matched` (factors within 15%); the
+per-ladder pairwise tables below list every pair's efficiency.
 
 ## Ladders (best CLEAN run per level)
 
@@ -124,8 +139,11 @@ physics, not by the pipeline:
 
 """)
     for lad in ladders:
+        lines.append(f"### {lad['file']} (engine={lad['engine']})")
         lines.append(f"local[{lad['n_small']}] runs (tokens/s, clean): {lad['all_n']}")
         lines.append(f"local[{lad['n_big']}] runs (tokens/s, clean): {lad['all_4n']}")
+        if lad["pair_md"]:
+            lines.append(lad["pair_md"])
         lines.append("")
     md = "\n".join(lines)
     with open(os.path.join(rs.REPO, "BENCH", "BASELINE.md"), "w") as fh:
