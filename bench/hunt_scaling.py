@@ -106,7 +106,14 @@ def main() -> None:
             r2 = rs.run_one(f"local[{n_big}]", zpath, n_docs, s2, n_big, engine)
             r2["_level"], r2["_pair"] = "4n", pair_id
             r2["epoch_factor"] = round(e2, 2)
-            matched = abs(e1 - e2) <= 0.15 * min(e1, e2)
+            # matched: the two legs' pre-leg epochs agree AND neither leg's
+            # post-spin (relative to its own pre-leg epoch ref) shows a
+            # mid-leg epoch flip
+            matched = (
+                abs(e1 - e2) <= 0.15 * min(e1, e2)
+                and 0.75 <= r.get("spin_post", 1.0) <= 1.3
+                and 0.75 <= r2.get("spin_post", 1.0) <= 1.3
+            )
             r["epoch_matched"] = r2["epoch_matched"] = matched
             runs_n.append(r)
             _append(jsonl, r)
