@@ -213,33 +213,49 @@ def _pairwise_md(runs_n: list[dict], runs_4n: list[dict]) -> tuple[str, float | 
     for r in runs_4n:
         if "_pair" in r:
             pairs.setdefault(r["_pair"], {})["4n"] = r
-    rows, best = [], None
+    rows, best, best_lb = [], None, None
     for pid, legs in sorted(pairs.items()):
         if "n" not in legs or "4n" not in legs:
             continue
         a, b = legs["n"], legs["4n"]
         eff_p = (b["tokens_per_sec"] / a["tokens_per_sec"]) / 4.0
-        ok = bool(a["clean"] and b["clean"] and a.get("epoch_matched"))
+        matched = bool(a.get("epoch_matched"))
+        if matched and a["clean"] and b["clean"]:
+            status = "yes"
+            if best is None or b["tokens_per_sec"] > best[1]:
+                best = (eff_p, b["tokens_per_sec"])
+        elif matched and a["clean"] and not b["clean"]:
+            # tenant contention inside the 4N leg only DEPRESSES its
+            # throughput, so with a strictly clean N leg the measured
+            # ratio is a valid LOWER BOUND on the true efficiency
+            status = "lower-bound (4N contended)"
+            if best_lb is None or eff_p > best_lb[0]:
+                best_lb = (eff_p, b["tokens_per_sec"])
+        else:
+            status = "no"
         rows.append(
             f"| {pid} | {a['tokens_per_sec']:,.0f} | {b['tokens_per_sec']:,.0f} "
             f"| {a.get('epoch_factor', '-')} / {b.get('epoch_factor', '-')} "
-            f"| {'yes' if ok else 'no'} | {eff_p:.3f} |")
-        if ok and (best is None or b["tokens_per_sec"] > best[1]):
-            best = (eff_p, b["tokens_per_sec"])
+            f"| {status} | {eff_p:.3f} |")
     if not rows:
         return "", None
     md = (
         "\n### Epoch-matched pairwise efficiencies (round-3 protocol)\n\n"
         "Each pair's two legs ran back-to-back inside one verified host\n"
-        "epoch (single-spin factors vs the all-time floor agree within 15%),\n"
-        "with tenant-quiet gates relative to that epoch — so the N->4N ratio\n"
-        "is valid even when the epoch itself is slow. `clean+matched = yes`\n"
-        "pairs are the admissible evidence.\n\n"
+        "epoch (single-spin factors vs the all-time floor agree within 15%,\n"
+        "and per-leg post-spins show no mid-leg flip), with tenant-quiet\n"
+        "gates relative to that epoch — so the N->4N ratio is valid even\n"
+        "when the epoch itself is slow. `yes` pairs are fully admissible;\n"
+        "`lower-bound` pairs have a strictly clean N leg and a CONTENDED 4N\n"
+        "leg, so the true efficiency is at least the listed value.\n\n"
         "| pair | N tokens/s | 4N tokens/s | epoch factor N / 4N | clean+matched | eff |\n"
         "|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n")
     if best is not None:
         md += f"\n**Best clean epoch-matched pair: eff = {best[0]:.3f}.**\n"
-    return md, (best[0] if best else None)
+    if best_lb is not None:
+        md += (f"\n**Best lower-bound pair: eff >= {best_lb[0]:.3f}** "
+               "(4N leg measured under tenant contention).\n")
+    return md, (best[0] if best else (best_lb[0] if best_lb else None))
 
 
 def write_baseline_md(runs_n: list[dict], runs_4n: list[dict],
