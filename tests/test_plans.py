@@ -91,3 +91,18 @@ def test_probe_ships_only_key_column_to_python(spark, corpus_path):
         assert "n_tok" in ln, ln
         for other in ("doc_id", "tokens", "source"):
             assert other not in ln, ln
+
+
+def test_file_scan_fast_path_shuffles_only_file_paths(spark, corpus_path):
+    """The Arrow file-scan build's only exchange is the repartition of the
+    tiny (idx, path) table — the token data itself never shuffles (it is
+    decoded inside the task that owns the file)."""
+    from sketchlib import agg
+    from sketchlib.config import HLLConfig
+
+    partials = agg.build_partials_files(
+        spark, corpus_path, [agg.SketchSpec("hll", HLLConfig(p=10), "tokens")])
+    plan = _plan(partials)
+    # one exchange (node + its plan-detail echo) carrying the path table
+    assert plan.count("Exchange") <= 2, plan
+    assert "idx" in plan and "path" in plan
