@@ -162,11 +162,12 @@ def main() -> None:
         query_noise[name] = meta
         return out
 
-    # one untimed warm-up build: JVM JIT, python worker pool, page cache —
-    # so ordering does not penalize whichever build row runs first (r2's
+    # untimed warm-ups for BOTH engines: JVM JIT, codegen, python worker
+    # pool, page cache — so neither build row pays its own cold start (r2's
     # bloom-only row looked 8x slower than the 5-sketch row purely because
     # it ran cold in a contaminated window)
     agg.collect_blobs(agg.build_sketches_files(spark, corpus_path, specs))
+    agg.collect_blobs(agg.build_sketches(corpus, specs))
 
     # headline: full five-sketch distributed build. Round 3: the build uses
     # the Arrow-native file-scan path (build_sketches_files) — Spark

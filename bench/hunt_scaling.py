@@ -71,17 +71,26 @@ def main() -> None:
         return sorted(rs.spin_ms() for _ in range(3))[1]
 
     def clean_pairs() -> int:
-        # epoch-matched clean pairs (new protocol) count first; legacy
-        # samples (no _pair) count via the old per-level clean minimum
-        matched = {r["_pair"] for r in runs_n
-                   if r.get("clean") and r.get("epoch_matched")}
-        matched &= {r["_pair"] for r in runs_4n
-                    if r.get("clean") and r.get("epoch_matched")}
+        # epoch-matched clean pairs (new protocol, match DERIVED from the
+        # legs' fields) count first; legacy samples (no _pair) count via
+        # the old per-level clean minimum
+        by_pair: dict[int, dict] = {}
+        for r in runs_n:
+            if "_pair" in r:
+                by_pair.setdefault(r["_pair"], {})["n"] = r
+        for r in runs_4n:
+            if "_pair" in r:
+                by_pair.setdefault(r["_pair"], {})["4n"] = r
+        matched = sum(
+            1 for legs in by_pair.values()
+            if "n" in legs and "4n" in legs
+            and legs["n"]["clean"] and legs["4n"]["clean"]
+            and rs.pair_matched(legs["n"], legs["4n"]))
         legacy = min(
             sum(bool(r["clean"]) for r in runs_n if "_pair" not in r),
             sum(bool(r["clean"]) for r in runs_4n if "_pair" not in r),
         )
-        return len(matched) + legacy
+        return matched + legacy
 
     # Epoch-relative hunting (round 3): scaling efficiency is a RATIO, so a
     # pair measured wholly inside one stable host epoch is valid evidence
@@ -101,29 +110,25 @@ def main() -> None:
             r = rs.run_one(f"local[{n_small}]", zpath, n_docs, s1, n_big, engine)
             r["_level"], r["_pair"] = "n", pair_id
             r["epoch_factor"] = round(e1, 2)
+            # persist the N leg IMMEDIATELY: a multi-minute clean sample
+            # must survive a sporadic 4N-leg spark-submit failure (the
+            # match flag is derived from both legs' fields at read time)
+            runs_n.append(r)
+            _append(jsonl, r)
             s2 = _epoch()
             e2 = s2 / floor
             r2 = rs.run_one(f"local[{n_big}]", zpath, n_docs, s2, n_big, engine)
             r2["_level"], r2["_pair"] = "4n", pair_id
             r2["epoch_factor"] = round(e2, 2)
-            # matched: the two legs' pre-leg epochs agree AND neither leg's
-            # post-spin (relative to its own pre-leg epoch ref) shows a
-            # mid-leg epoch flip
-            matched = (
-                abs(e1 - e2) <= 0.15 * min(e1, e2)
-                and 0.75 <= r.get("spin_post", 1.0) <= 1.3
-                and 0.75 <= r2.get("spin_post", 1.0) <= 1.3
-            )
-            r["epoch_matched"] = r2["epoch_matched"] = matched
-            runs_n.append(r)
-            _append(jsonl, r)
+            r2["epoch_matched"] = rs.pair_matched(r, r2)  # for human readers
             runs_4n.append(r2)
             _append(jsonl, r2)
-            pair_id += 1
         except Exception as e:  # noqa: BLE001 — keep hunting through sporadic failures
             _append(jsonl, {"_level": "error", "error": str(e)[:500]})
+            pair_id += 1  # never reuse a pair id after a half-written pair
             time.sleep(30)
             continue
+        pair_id += 1
         if runs_n and runs_4n and clean_pairs() >= 1:
             rs.write_baseline_md(runs_n, runs_4n, n_small, n_big)
         sys.stderr.write(

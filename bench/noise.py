@@ -84,8 +84,13 @@ def host_cpu_times() -> list[int]:
 
 
 def tree_cpu_ticks(root_pid: int) -> int:
-    """utime+stime ticks of root_pid and every live descendant (the Spark
-    driver JVM plus its pyspark worker daemons are separate processes)."""
+    """CPU ticks of root_pid and every live descendant (the Spark driver
+    JVM plus its pyspark worker daemons are separate processes). Includes
+    each process's cutime/cstime (CPU of its REAPED children), so a worker
+    that exits mid-window still counts: before exit its ticks appear in its
+    own utime; after reaping they move to the parent's cutime — the
+    window-delta stays exact either way (children reaped before the window
+    cancel in the subtraction)."""
     procs: dict[int, tuple[int, int]] = {}
     for d in os.listdir("/proc"):
         if not d.isdigit():
@@ -96,8 +101,12 @@ def tree_cpu_ticks(root_pid: int) -> int:
         except OSError:
             continue
         rest = raw[raw.rfind(")") + 2:].split()
-        # rest[1]=ppid, rest[11]=utime, rest[12]=stime (post-comm fields)
-        procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        # post-comm fields: rest[1]=ppid, rest[11]=utime, rest[12]=stime,
+        # rest[13]=cutime, rest[14]=cstime
+        procs[int(d)] = (
+            int(rest[1]),
+            int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14]),
+        )
     ticks = 0
     members = {root_pid}
     grew = True

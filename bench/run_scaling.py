@@ -201,6 +201,21 @@ def _best(runs: list[dict]) -> tuple[dict, bool]:
     return b, bool(clean)
 
 
+def pair_matched(a: dict, b: dict) -> bool:
+    """Epoch-match is DERIVED from the two legs' persisted fields (pre-leg
+    epoch factors within 15% + per-leg post-spins showing no mid-leg flip)
+    rather than stored, so a leg persisted before its partner completed
+    still pairs correctly after a hunter resume."""
+    e1, e2 = a.get("epoch_factor"), b.get("epoch_factor")
+    if e1 is None or e2 is None:
+        return bool(a.get("epoch_matched") and b.get("epoch_matched"))
+    return (
+        abs(e1 - e2) <= 0.15 * min(e1, e2)
+        and 0.75 <= a.get("spin_post", 1.0) <= 1.3
+        and 0.75 <= b.get("spin_post", 1.0) <= 1.3
+    )
+
+
 def _pairwise_md(runs_n: list[dict], runs_4n: list[dict]) -> tuple[str, float | None]:
     """Markdown table of per-pair efficiencies for epoch-tagged samples
     (round-3 protocol: both legs of a pair share one host epoch, so their
@@ -219,7 +234,7 @@ def _pairwise_md(runs_n: list[dict], runs_4n: list[dict]) -> tuple[str, float | 
             continue
         a, b = legs["n"], legs["4n"]
         eff_p = (b["tokens_per_sec"] / a["tokens_per_sec"]) / 4.0
-        matched = bool(a.get("epoch_matched"))
+        matched = pair_matched(a, b)
         if matched and a["clean"] and b["clean"]:
             status = "yes"
             if best is None or b["tokens_per_sec"] > best[1]:

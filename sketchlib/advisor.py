@@ -65,8 +65,20 @@ def save_probe_table(rows: list[dict], path=None) -> Path:
     return p
 
 
+# filters at or below this size are cache-resident on the measured hosts;
+# above it the model adds the memory-bound per-hash cost (see docstring)
+_CACHE_REGIME_BITS = 1 << 22
+
+
+def _regime(m_bits: int) -> bool:
+    return m_bits <= _CACHE_REGIME_BITS
+
+
 def load_probe_table(path=None) -> dict | None:
-    """Load the persisted table as {(block_bits, sectors, zones, k): ns};
+    """Load the persisted table as {(block_bits, sectors, zones, k,
+    cache_regime): ns} — cache_regime is derived from the m_bits the
+    measurement ran at, so a cache-resident 2^21-bit measurement never
+    overrides the model's memory-bound estimate for a multi-GB filter.
     None when absent/unreadable (callers fall back to the fitted model)."""
     p = Path(path) if path is not None else probe_table_path()
     try:
@@ -76,7 +88,8 @@ def load_probe_table(path=None) -> dict | None:
     out = {}
     for r in data.get("rows", []):
         try:
-            key = (int(r["block_bits"]), int(r["sectors"]), int(r["zones"]), int(r["k"]))
+            key = (int(r["block_bits"]), int(r["sectors"]), int(r["zones"]),
+                   int(r["k"]), _regime(int(r.get("m_bits", 0))))
             out[key] = float(r["ns"])
         except (KeyError, TypeError, ValueError):
             continue
@@ -85,8 +98,12 @@ def load_probe_table(path=None) -> dict | None:
 
 def _table_cost_fn(table: dict) -> Callable[[BloomConfig], float]:
     def cost_fn(cfg: BloomConfig) -> float:
-        key = (cfg.block_bits, cfg.sectors, cfg.zones, cfg.k)
-        return table.get(key, _model_probe_ns(cfg))
+        key = (cfg.block_bits, cfg.sectors, cfg.zones, cfg.k, _regime(cfg.m_bits))
+        if key in table:
+            return table[key]
+        # legacy 4-tuple tables (explicit caller-passed dicts) stay supported
+        return table.get((cfg.block_bits, cfg.sectors, cfg.zones, cfg.k),
+                         _model_probe_ns(cfg))
     return cost_fn
 
 

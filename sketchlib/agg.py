@@ -443,17 +443,29 @@ def build_partials_files_indexed(
     def scan_fn(path_batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
 
+        def _open(fpath: str):
+            """Hadoop URI -> something pq.ParquetFile accepts: local paths
+            directly; remote schemes via the matching pyarrow filesystem
+            (s3a is Hadoop's name for what pyarrow calls s3)."""
+            if fpath.startswith("file:"):
+                local = fpath[5:]
+                while local.startswith("//"):
+                    local = local[1:]
+                return local
+            if "://" in fpath:
+                from pyarrow import fs as pafs
+
+                uri = fpath.replace("s3a://", "s3://", 1)
+                fsys, rel = pafs.FileSystem.from_uri(uri)
+                return fsys.open_input_file(rel)
+            return fpath
+
         def gen() -> Iterator[pa.RecordBatch]:
             for pb in path_batches:
                 idxs = pb.column("idx").to_pylist()
                 paths = pb.column("path").to_pylist()
                 for fidx, fpath in zip(idxs, paths):
-                    local = fpath
-                    if local.startswith("file:"):
-                        local = local[5:]
-                        while local.startswith("//"):
-                            local = local[1:]
-                    pf = pq.ParquetFile(local)
+                    pf = pq.ParquetFile(_open(fpath))
                     for rb in pf.iter_batches(columns=cols, batch_size=batch_size):
                         yield rb.append_column(
                             _FILE_PART,
@@ -475,14 +487,15 @@ def build_sketches_files(
     fanout: int | None = None,
 ) -> DataFrame:
     """End-to-end fast-path build: pyarrow file scan -> partials -> tree
-    merge. Same output contract as ``build_sketches``."""
-    partials = build_partials_files(spark, path, specs, group_by)
-    files = list_data_files(spark, path) if isinstance(path, str) else list(path)
+    merge. Same output contract as ``build_sketches``. Lists the input
+    exactly once (a second recursive walk could disagree with the first on
+    object stores with concurrent writers)."""
+    files = list_data_files(spark, path) if isinstance(path, str) else sorted(path)
+    partials = build_partials_files_indexed(
+        spark, list(enumerate(files)), specs, group_by)
     fanout = fanout or _auto_fanout(specs)
-    levels = 1
-    while fanout**levels < max(len(files), 1):
-        levels += 1
-    return merge_partials(partials, fanout=fanout, levels=levels)
+    return merge_partials(partials, fanout=fanout,
+                          levels=merge_levels(fanout, len(files)))
 
 
 def _merge_group(pdf):
@@ -532,6 +545,16 @@ def _auto_fanout(specs: list[SketchSpec], budget_bytes: int = 256 << 20) -> int:
     return int(max(4, min(4096, budget_bytes // max(biggest, 1))))
 
 
+def merge_levels(fanout: int, n_parts: int) -> int:
+    """Tree depth so fanout**levels covers n_parts — the single source of
+    truth for fresh builds and resumes (a resume must merge with the same
+    tree shape as an uninterrupted run)."""
+    levels = 1
+    while fanout**levels < max(n_parts, 1):
+        levels += 1
+    return levels
+
+
 def merge_partials(partials: DataFrame, fanout: int = 64, levels: int = 1) -> DataFrame:
     """B-ary tree merge. ``levels`` is ceil(log_fanout(P)) — 1 for P <= 64,
     2 for P <= 4096, 3 covers a million partitions. Each level shuffles only
@@ -561,10 +584,8 @@ def build_sketches(
     partials = build_partials(df, specs, group_by, num_partitions, salt, salt_keys)
     n_parts = num_partitions or df.rdd.getNumPartitions()
     fanout = fanout or _auto_fanout(specs)
-    levels = 1
-    while fanout**levels < n_parts:
-        levels += 1
-    return merge_partials(partials, fanout=fanout, levels=levels)
+    return merge_partials(partials, fanout=fanout,
+                          levels=merge_levels(fanout, n_parts))
 
 
 def collect_blobs(final: DataFrame) -> dict[tuple[str, str], bytes]:

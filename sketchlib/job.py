@@ -280,10 +280,8 @@ def run_files(
     merged = spark.read.parquet(_partials_path(checkpoint_dir))
     merged = merged.dropDuplicates(["sketch", "group", "part"])
     fanout = agg._auto_fanout(list(specs))
-    levels = 1
-    while fanout**levels < max(len(files), 1):
-        levels += 1
-    return agg.merge_partials(merged, fanout=fanout, levels=levels)
+    return agg.merge_partials(
+        merged, fanout=fanout, levels=agg.merge_levels(fanout, len(files)))
 
 
 def run_with_kill(

@@ -91,7 +91,14 @@ def test_probe_table_roundtrip(tmp_path):
         [dict(block_bits=64, sectors=1, zones=1, k=4, m_bits=1 << 21, ns=17.5)],
         path=path)
     table = advisor.load_probe_table(path)
-    assert table == {(64, 1, 1, 4): 17.5}
+    assert table == {(64, 1, 1, 4, True): 17.5}  # True = cache-resident regime
+    # a cache-resident measurement must NOT price a memory-bound filter:
+    # the big-m config falls back to the fitted model
+    fn = advisor._table_cost_fn(table)
+    small = BloomConfig(m_bits=1 << 21, k=4, word_bits=64, words_per_block=1)
+    big = BloomConfig(m_bits=1 << 31, k=4, word_bits=64, words_per_block=1)
+    assert fn(small) == 17.5
+    assert fn(big) == advisor._model_probe_ns(big)
     # unreadable/malformed -> None (model fallback), never raises
     path.write_text("not json")
     assert advisor.load_probe_table(path) is None
