@@ -251,9 +251,16 @@ def _pairwise_md(runs_n: list[dict], runs_4n: list[dict]) -> tuple[str, float | 
             lb_effs.append(eff_p)
         else:
             status = "no"
+        def _percore(leg):
+            ef = leg.get("epoch_factor")
+            if not ef or not leg.get("cores"):
+                return "-"
+            return f"{leg['tokens_per_sec'] / leg['cores'] * ef / 1e6:.1f}M"
+
         rows.append(
             f"| {pid} | {a['tokens_per_sec']:,.0f} | {b['tokens_per_sec']:,.0f} "
             f"| {a.get('epoch_factor', '-')} / {b.get('epoch_factor', '-')} "
+            f"| {_percore(a)} / {_percore(b)} "
             f"| {status} | {eff_p:.3f} |")
     if not rows:
         return "", None
@@ -269,8 +276,16 @@ def _pairwise_md(runs_n: list[dict], runs_4n: list[dict]) -> tuple[str, float | 
         "and a CONTENDED 4N leg, so the true efficiency is at least the\n"
         "listed value. No cherry-picking: every pair is listed and the\n"
         "claimed figure is the MEDIAN over admissible pairs.\n\n"
-        "| pair | N tokens/s | 4N tokens/s | epoch factor N / 4N | clean+matched | eff |\n"
-        "|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n")
+        "The `per-core (epoch-adj)` column is tokens/s/core scaled by the\n"
+        "leg's epoch factor — a hardware-normalized speed. N legs cluster\n"
+        "tightly (~15-16M); 4N legs are BIMODAL at ~15M or ~8M (exactly\n"
+        "half) even when spins, steal and busy-core telemetry all read\n"
+        "idle — hypervisor co-scheduling of the wider process group. Pairs\n"
+        "whose 4N leg caught the half-speed mode measure that co-scheduling\n"
+        "policy, not the pipeline.\n\n"
+        "| pair | N tokens/s | 4N tokens/s | epoch factor N / 4N "
+        "| per-core (epoch-adj) N / 4N | clean+matched | eff |\n"
+        "|---|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n")
     # Aggregation semantics: clean matched pairs are POINT estimates ->
     # median (robust to the 4N leg's hypervisor bimodality in either
     # direction). Lower-bound pairs are one-sided -> the MAX of lower
