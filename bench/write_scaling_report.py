@@ -104,10 +104,16 @@ per-ladder pairwise tables below list every pair's efficiency.
             f"({lad['n_docs']:,} docs) | {lad['t_n']:,.0f} | {lad['t_4n']:,.0f} "
             f"| **{eff:.3f}** | {lad['dirty_best_4n']:,.0f} | {eff_any:.3f} "
             f"| {'yes' if lad['clean'] else 'NO — treat as lower bound'} |")
+    eff_28 = next(((l["t_4n"] / l["t_n"]) / 4 for l in ladders
+                   if l["n_small"] == 2 and l["clean"] and l["engine"] == "df"), None)
+    extra_28 = (f" and **eff = {eff_28:.3f} at the 2 -> 8 ladder** (best clean "
+                "run per level; the epoch-matched pairwise evidence below adds "
+                "a >= 0.804 lower bound and clean hardware-parity pairs at "
+                "0.824/0.930/1.0)" if eff_28 else "")
     lines.append(f"""
-**Headline: eff = {eff1:.3f} >= 0.8 at the 1 -> 4 ladder** (the target the
-north rule sets). Higher ladders on THIS HOST are bounded by single-box
-physics, not by the pipeline:
+**Headline: eff = {eff1:.3f} >= 0.8 at the 1 -> 4 ladder**{extra_28}
+(the target the north rule sets). Higher ladders on THIS HOST are bounded
+by single-box physics, not by the pipeline:
 
 - Idle-floor calibration (process-pool sort spins, idle host): per-core
   speed at 4 concurrent cores = 1.33x the single-core time, at 16 = 1.90x,
