@@ -35,3 +35,21 @@ def test_spin_and_clean_ratio_sane():
     s = noise.spin_ms()
     assert 1.0 < s < 10_000
     assert noise.clean_ratio(2) <= noise.clean_ratio(8) <= noise.clean_ratio(32)
+
+
+def test_pair_matched_rules():
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench"))
+    import run_scaling as rs
+
+    ok_a = dict(epoch_factor=2.4, spin_post=1.0)
+    ok_b = dict(epoch_factor=2.3, spin_post=1.05)
+    assert rs.pair_matched(ok_a, ok_b)
+    # epoch flip between legs
+    assert not rs.pair_matched(ok_a, dict(epoch_factor=3.2, spin_post=1.0))
+    # mid-leg epoch flip visible in the post-spin
+    assert not rs.pair_matched(ok_a, dict(epoch_factor=2.35, spin_post=2.6))
+    assert not rs.pair_matched(dict(epoch_factor=2.4, spin_post=0.5), ok_b)
+    # legacy records without epoch fields fall back to the stored flag
+    assert rs.pair_matched(dict(epoch_matched=True), dict(epoch_matched=True))
+    assert not rs.pair_matched(dict(epoch_matched=True), dict())
