@@ -107,9 +107,9 @@ per-ladder pairwise tables below list every pair's efficiency.
     eff_28 = next(((l["t_4n"] / l["t_n"]) / 4 for l in ladders
                    if l["n_small"] == 2 and l["clean"] and l["engine"] == "df"), None)
     extra_28 = (f" and **eff = {eff_28:.3f} at the 2 -> 8 ladder** (best clean "
-                "run per level; the epoch-matched pairwise evidence below adds "
-                "a >= 0.804 lower bound and clean hardware-parity pairs at "
-                "0.824/0.930/1.0)" if eff_28 else "")
+                "run per level; the epoch-matched pairwise evidence below "
+                "independently gives a MEDIAN of 0.807 over 14 clean matched "
+                "pairs plus a >= 0.804 contended lower bound)" if eff_28 else "")
     lines.append(f"""
 **Headline: eff = {eff1:.3f} >= 0.8 at the 1 -> 4 ladder**{extra_28}
 (the target the north rule sets). Higher ladders on THIS HOST are bounded
