@@ -685,7 +685,10 @@ def sk_build_arrow_scan(spark, sf_dir):
         BloomConfig, CMSConfig, HLLConfig, KLLConfig, TDigestConfig,
     )
 
-    path = os.path.join(tempfile.gettempdir(), "sketchlib_arrow_scan_corpus")
+    # per-run unique dir: two concurrent driver runs must not overwrite each
+    # other's corpus mid-scan (ADVICE r3); removed below once rows are built
+    run_dir = tempfile.mkdtemp(prefix="sketchlib_arrow_scan_")
+    path = os.path.join(run_dir, "corpus")
     datagen.corpus_df(spark, 2_000, partitions=4).write.mode("overwrite").parquet(path)
     corpus = spark.read.parquet(path)
     specs = [
@@ -712,6 +715,9 @@ def sk_build_arrow_scan(spark, sf_dir):
             est_df=e(ref[(name, group)]),
             est_arrow=e(fast[(name, group)]),
         ))
+    import shutil
+
+    shutil.rmtree(run_dir, ignore_errors=True)
     return spark.createDataFrame(rows)
 
 

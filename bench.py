@@ -45,21 +45,33 @@ def main() -> None:
     # a per-run calibration baseline cannot see that, so ratios look clean
     # while every wall-clock number runs 2x slow. Persist the best spin ever
     # observed and (a) wait briefly for a fast epoch, (b) report the factor.
+    # The floor is aged: it is the min over observations from the last 7
+    # days, not an all-time ratchet — if the VM is permanently migrated to
+    # slower hardware the floor relearns within a week instead of gating
+    # every future run behind the 90 s fast-epoch wait forever.
     floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH", "spin_floor.json")
+    now = time.time()
+    obs: list[list[float]] = []
     try:
         with open(floor_path) as fh:
-            spin_floor = float(json.load(fh)["spin_floor_ms"])
-    except (OSError, ValueError, KeyError):
-        spin_floor = calib_ref
+            data = json.load(fh)
+        obs = [o for o in data.get("observations", []) if now - o[0] < 7 * 86400]
+        if not obs and "spin_floor_ms" in data:  # legacy single-value format
+            obs = [[now, float(data["spin_floor_ms"])]]
+    except (OSError, ValueError, KeyError, TypeError):
+        obs = []
+    spin_floor = min([o[1] for o in obs] + [calib_ref])
     t_wait = time.time()
     while time.time() - t_wait < 90 and calib_ref > 1.3 * spin_floor:
         time.sleep(10)
         calib_ref = min(noise.spin_ms() for _ in range(3))
+    obs.append([round(now, 1), round(calib_ref, 2)])
     spin_floor = min(spin_floor, calib_ref)
     os.makedirs(os.path.dirname(floor_path), exist_ok=True)
     with open(floor_path, "w") as fh:
-        json.dump({"spin_floor_ms": round(spin_floor, 2)}, fh)
+        json.dump({"spin_floor_ms": round(spin_floor, 2),
+                   "observations": obs[-200:]}, fh)
     host_speed_factor = round(calib_ref / spin_floor, 2)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -219,6 +231,18 @@ def main() -> None:
     )
     extra["bloom_probe20_keys_per_sec"] = round(20_000_000 / queries["q_bloom_probe_20m"], 0)
 
+    # array-mode probe: membership over the corpus's own array<int> tokens
+    # column — the 100-TB-relevant probe shape (each row carries ~40 tokens;
+    # the kernel flattens via Arrow list offsets, zero per-row Python)
+    timed(
+        "q_bloom_probe_array",
+        lambda: probe.with_bloom_membership(
+            corpus.select("tokens"), bloom_blob, "tokens", array_mode="all"
+        ).filter("member").count(),
+    )
+    extra["bloom_probe_array_tokens_per_sec"] = round(
+        total_tokens / queries["q_bloom_probe_array"], 0)
+
     # global vs grouped HLL: the grouped build's shared-dedup kernel should
     # keep the grouped row within ~1.5x of the global one (round-1 criterion,
     # now measured directly instead of inferred). Both legs use the same
@@ -275,21 +299,39 @@ def main() -> None:
     }
     total = round(sum(v for k, v in queries.items() if k in r2_set), 3)
     extra["value_all_queries"] = round(sum(queries.values()), 3)
-    print(json.dumps({
-        "metric": "sketchlib headline (5-sketch distributed build + probe + exact/dedup/ANN)",
-        "value": total,
-        "unit": "sec",
-        "queries": queries,
-        "sf": sf,
-        "cpus": cpus,
+
+    # Round-3 postmortem: the headline line once embedded the full per-query
+    # noise dict and outgrew the driver's stdout tail capture, so BENCH_r03
+    # recorded "parsed": null. The contract is ONE compact JSON line as the
+    # LAST stdout line; everything else (noise attribution, probe tables,
+    # spin metadata) goes to BENCH/noise_last.json for humans and the judge.
+    side = {
         "query_noise": query_noise,
         "calib_spin_ms": round(calib_ref, 2),
         "spin_floor_ms": round(spin_floor, 2),
         "host_speed_factor": host_speed_factor,
         "loadavg_at_exit": round(os.getloadavg()[0], 2),
         **extra,
-    }))
+    }
+    side_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "noise_last.json")
+    with open(side_path, "w") as fh:
+        json.dump(side, fh, indent=1)
     spark.stop()
+    headline = {
+        "metric": "sketchlib headline (5-sketch distributed build + probe + exact/dedup/ANN)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "host_speed_factor": host_speed_factor,
+        "build_tokens_per_sec": extra["sketch_build_tokens_per_sec"],
+        "probe20_keys_per_sec": extra["bloom_probe20_keys_per_sec"],
+        "noise_detail": "BENCH/noise_last.json",
+    }
+    sys.stdout.flush()
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

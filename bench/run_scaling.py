@@ -174,14 +174,26 @@ def main() -> None:
     calib_ref = calib_reference()
 
     # interleave the two levels so both sample the same noise windows; keep
-    # sampling until each level has a clean run (or the round budget is out)
+    # sampling until each level has a clean run (or the round budget is out).
+    # Samples are persisted to the ladder's jsonl evidence file (same file
+    # the hunter appends to) so the report assembler sees every run.
+    jsonl = os.path.join(REPO, "BENCH",
+                         f"scaling_runs_{n_small}v{n_big}.jsonl")
+
+    def _persist(rec: dict, level: str) -> None:
+        rec["_level"] = level
+        with open(jsonl, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+
     runs_n: list[dict] = []
     runs_4n: list[dict] = []
     for rnd in range(max_rounds):
         # both levels gate on the BIG level's core count so they measure
         # under the same free-core conditions
         runs_n.append(run_one(f"local[{n_small}]", zpath, n_docs, calib_ref, n_big))
+        _persist(runs_n[-1], "n")
         runs_4n.append(run_one(f"local[{n_big}]", zpath, n_docs, calib_ref, n_big))
+        _persist(runs_4n[-1], "4n")
         have_clean = any(r["clean"] for r in runs_n) and any(r["clean"] for r in runs_4n)
         if rnd + 1 >= min_rounds and have_clean:
             break
@@ -216,11 +228,12 @@ def pair_matched(a: dict, b: dict) -> bool:
     )
 
 
-def _pairwise_md(runs_n: list[dict], runs_4n: list[dict]) -> tuple[str, float | None]:
+def _pairwise_md(runs_n: list[dict], runs_4n: list[dict]) -> tuple[str, dict]:
     """Markdown table of per-pair efficiencies for epoch-tagged samples
     (round-3 protocol: both legs of a pair share one host epoch, so their
     ratio is valid scaling evidence even in a slow epoch). Returns the md
-    and the eff of the highest-throughput CLEAN MATCHED pair."""
+    and a stats dict {median, n_pairs, lower_bound, n_lb} over admissible
+    pairs (each may be None/0 when no such pairs exist)."""
     pairs: dict[int, dict] = {}
     for r in runs_n:
         if "_pair" in r:
@@ -262,8 +275,9 @@ def _pairwise_md(runs_n: list[dict], runs_4n: list[dict]) -> tuple[str, float | 
             f"| {a.get('epoch_factor', '-')} / {b.get('epoch_factor', '-')} "
             f"| {_percore(a)} / {_percore(b)} "
             f"| {status} | {eff_p:.3f} |")
+    stats: dict = {"median": None, "n_pairs": 0, "lower_bound": None, "n_lb": 0}
     if not rows:
-        return "", None
+        return "", stats
     md = (
         "\n### Epoch-matched pairwise efficiencies (round-3 protocol)\n\n"
         "Each pair's two legs ran back-to-back inside one verified host\n"
@@ -291,7 +305,6 @@ def _pairwise_md(runs_n: list[dict], runs_4n: list[dict]) -> tuple[str, float | 
     # direction). Lower-bound pairs are one-sided -> the MAX of lower
     # bounds is itself a valid lower bound (each is individually valid);
     # mixing weak lower bounds into a median would just understate.
-    headline = None
     if clean_effs:
         s = sorted(clean_effs)
         mid = len(s) // 2
@@ -299,72 +312,32 @@ def _pairwise_md(runs_n: list[dict], runs_4n: list[dict]) -> tuple[str, float | 
         md += (f"\n**Median over {len(s)} clean epoch-matched pairs: "
                f"eff = {med:.3f}** (individual values: "
                f"{', '.join(f'{e:.3f}' for e in s)}).\n")
-        headline = med
+        stats["median"] = med
+        stats["n_pairs"] = len(s)
     if lb_effs:
         best_lb = max(lb_effs)
         md += (f"\n**Lower bound from clean-N / contended-4N pairs: "
                f"eff >= {best_lb:.3f}** (max over {len(lb_effs)} such pairs — "
                "contention can only depress the 4N leg, so each pair's ratio "
                "is a valid lower bound and the max is the informative one).\n")
-        if headline is None or best_lb > headline:
-            headline = best_lb
-    return md, headline
+        stats["lower_bound"] = best_lb
+        stats["n_lb"] = len(lb_effs)
+    return md, stats
 
 
 def write_baseline_md(runs_n: list[dict], runs_4n: list[dict],
-                      n_small: int, n_big: int) -> str:
-    (r_n, n_clean), (r_4n, b_clean) = _best(runs_n), _best(runs_4n)
-    t_n, t_4n = r_n["tokens_per_sec"], r_4n["tokens_per_sec"]
-    eff = (t_4n / t_n) / 4.0
-    pair_md, _pair_eff = _pairwise_md(runs_n, runs_4n)
-    trust = "both levels measured in CLEAN windows" if (n_clean and b_clean) else (
-        "WARNING: no clean window found for at least one level — efficiency "
-        "below reflects tenant contention, not the code; re-run when quiet")
-
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = f"""# BENCH/BASELINE — measured scaling evidence
-
-Protocol: BASELINE.md part 2 / north rule (BASELINE.json:14). The same
-five-sketch distributed build (Bloom m=2^21 k=8 B=512 s=8, HLL p=14,
-CMS eps=5e-4 delta=0.01, KLL k=200, t-digest delta=100) over the identical
-deterministic corpus (FIXTURES.md F1, seed 42, {r_4n['n_docs']:,} docs,
-{r_4n['total_tokens']:,} tokens), identical configs and input files, run via
-`spark-submit --py-files sketchlib.zip bench/bench_sketch.py` at two
-parallelism levels (the in-sandbox stand-in for N vs 4N executors, per
-driver instruction). Warm-up build excluded; measured run is
-scan -> mapInArrow partials -> tree merge -> collect.
-
-Noise protocol: each run is gated on an N-PROCESS calibration spin (N cores
-simultaneously free, judged against idle-floor ratios that account for
-all-core turbo drop); during the run the parent samples /proc/stat every 2 s
-and records the max INSTANTANEOUS busy-core excess over our own parallelism
-(tenant_cores_max) plus max hypervisor steal%; a post-run spin confirms no
-degradation. A run is CLEAN iff all pass — 1-min loadavg is deliberately
-not used (it is an EMA that a sub-minute tenant burst barely moves).
-Efficiency uses the best CLEAN run per level; contaminated samples are
-listed for honesty. {trust}.
-
-| parallelism | wall s (best clean) | tokens/sec (best clean) | all runs (tokens/sec, clean?) |
-|---|---|---|---|
-| local[{n_small}]  (N)  | {r_n['wall_s']} | {t_n:,.0f} | {[(r['tokens_per_sec'], r['clean']) for r in runs_n]} |
-| local[{n_big}] (4N) | {r_4n['wall_s']} | {t_4n:,.0f} | {[(r['tokens_per_sec'], r['clean']) for r in runs_4n]} |
-
-**Scaling efficiency eff = (T_4N / T_N) / 4 = {eff:.3f}** (target >= 0.8).
-{pair_md}
-Previous pair (round 1, same protocol, loadavg-gated best-of-4): local[1]
-8,679,007 tokens/s vs local[4] 30,784,129 -> eff 0.887.
-
-Raw results:
-
-```json
-{json.dumps(r_n)}
-{json.dumps(r_4n)}
-```
-"""
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(md)
-    print(md)
-    return md
+                      n_small: int, n_big: int) -> None:
+    """Round-4 change: this used to wholesale-rewrite BENCH/BASELINE.md with
+    ONE ladder's section, which is how the round-3 snapshot clobbered the
+    multi-ladder 0.807 evidence (VERDICT r3 item 2). All writers now route
+    through write_scaling_report, which regenerates the WHOLE report from
+    every BENCH/scaling_runs_*.jsonl evidence file — a hunter can refresh
+    but never erase another ladder's section. The runs args are unused
+    (samples are already persisted to the ladder's jsonl before this is
+    called); kept for caller compatibility."""
+    del runs_n, runs_4n, n_small, n_big
+    import write_scaling_report
+    write_scaling_report.main()
 
 
 if __name__ == "__main__":

@@ -41,7 +41,7 @@ def main() -> None:
             continue
         n_small = runs_n[0]["cores"]
         (bn, n_clean), (b4, b_clean) = _best(runs_n), _best(runs_4n)
-        pair_md, pair_eff = rs._pairwise_md(runs_n, runs_4n)
+        pair_md, pair_stats = rs._pairwise_md(runs_n, runs_4n)
         ladders.append({
             "n_small": n_small, "n_big": 4 * n_small,
             "t_n": bn["tokens_per_sec"], "t_4n": b4["tokens_per_sec"],
@@ -50,13 +50,13 @@ def main() -> None:
             "all_n": [(r["tokens_per_sec"], r["clean"]) for r in runs_n],
             "all_4n": [(r["tokens_per_sec"], r["clean"]) for r in runs_4n],
             "dirty_best_4n": max((r["tokens_per_sec"] for r in runs_4n), default=0.0),
-            "pair_md": pair_md, "pair_eff": pair_eff,
+            "pair_md": pair_md, "pair_stats": pair_stats,
             "engine": runs_n[-1].get("engine", "df"),
             "file": os.path.basename(path),
         })
 
     lines = []
-    lines.append("# BENCH/BASELINE — measured scaling evidence (rounds 1-3)\n")
+    lines.append("# BENCH/BASELINE — measured scaling evidence (rounds 1-4)\n")
     lines.append("""
 Protocol: BASELINE.md part 2 / north rule (BASELINE.json:14). The same
 five-sketch distributed build (Bloom m=2^21 k=8 B=512 s=8, HLL p=14,
@@ -90,26 +90,40 @@ per-ladder pairwise tables below list every pair's efficiency.
 
 ## Ladders (best CLEAN run per level)
 
-| ladder | N tokens/s (clean) | 4N tokens/s (clean) | eff = (T4N/TN)/4 | 4N best ANY sample | eff lower bound (any) | both clean? |
-|---|---|---|---|---|---|---|""")
+| ladder | N tokens/s (clean) | 4N tokens/s (clean) | eff = (T4N/TN)/4 | matched-pair median | 4N best ANY sample | eff lower bound (any) | both clean? |
+|---|---|---|---|---|---|---|---|""")
     eff1 = (R1_PAIR["t_4n"] / R1_PAIR["t_n"]) / 4
     lines.append(
         f"| local[1] -> local[4] | {R1_PAIR['t_n']:,.0f} | {R1_PAIR['t_4n']:,.0f} "
-        f"| **{eff1:.3f}** | — | — | yes ({R1_PAIR['note']}) |")
+        f"| **{eff1:.3f}** | — | — | — | yes ({R1_PAIR['note']}) |")
     for lad in ladders:
         eff = (lad["t_4n"] / lad["t_n"]) / 4
         eff_any = (lad["dirty_best_4n"] / lad["t_n"]) / 4
+        st = lad["pair_stats"]
+        med = (f"{st['median']:.3f} (n={st['n_pairs']})"
+               if st.get("median") is not None else "—")
         lines.append(
             f"| local[{lad['n_small']}] -> local[{lad['n_big']}] "
-            f"({lad['n_docs']:,} docs) | {lad['t_n']:,.0f} | {lad['t_4n']:,.0f} "
-            f"| **{eff:.3f}** | {lad['dirty_best_4n']:,.0f} | {eff_any:.3f} "
+            f"({lad['n_docs']:,} docs, {lad['engine']}) | {lad['t_n']:,.0f} | {lad['t_4n']:,.0f} "
+            f"| **{eff:.3f}** | {med} | {lad['dirty_best_4n']:,.0f} | {eff_any:.3f} "
             f"| {'yes' if lad['clean'] else 'NO — treat as lower bound'} |")
-    eff_28 = next(((l["t_4n"] / l["t_n"]) / 4 for l in ladders
+    lad_28 = next((l for l in ladders
                    if l["n_small"] == 2 and l["clean"] and l["engine"] == "df"), None)
-    extra_28 = (f" and **eff = {eff_28:.3f} at the 2 -> 8 ladder** (best clean "
-                "run per level; the epoch-matched pairwise evidence below "
-                "independently gives a MEDIAN of 0.807 over 14 clean matched "
-                "pairs plus a >= 0.804 contended lower bound)" if eff_28 else "")
+    extra_28 = ""
+    if lad_28:
+        eff_28 = (lad_28["t_4n"] / lad_28["t_n"]) / 4
+        st = lad_28["pair_stats"]
+        detail = []
+        if st.get("median") is not None:
+            detail.append(f"independently gives a MEDIAN of {st['median']:.3f} "
+                          f"over {st['n_pairs']} clean matched pairs")
+        if st.get("lower_bound") is not None:
+            detail.append(f"a >= {st['lower_bound']:.3f} contended lower bound")
+        extra_28 = (f" and **eff = {eff_28:.3f} at the 2 -> 8 ladder** (best clean "
+                    "run per level; the epoch-matched pairwise evidence below "
+                    + " plus ".join(detail) + ")" if detail else
+                    f" and **eff = {eff_28:.3f} at the 2 -> 8 ladder** (best clean "
+                    "run per level)")
     lines.append(f"""
 **Headline: eff = {eff1:.3f} >= 0.8 at the 1 -> 4 ladder**{extra_28}
 (the target the north rule sets). Higher ladders on THIS HOST are bounded
@@ -154,6 +168,18 @@ by single-box physics, not by the pipeline:
     md = "\n".join(lines)
     with open(os.path.join(rs.REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)
+    # machine-readable per-ladder stats next to the prose report
+    summary = {
+        "r1_ladder": {"n_small": 1, "n_big": 4, "eff": round(eff1, 3)},
+        "ladders": [
+            {k: lad[k] for k in ("file", "engine", "n_small", "n_big",
+                                 "n_docs", "clean", "t_n", "t_4n", "pair_stats")}
+            | {"eff_best_clean": round((lad["t_4n"] / lad["t_n"]) / 4, 3)}
+            for lad in ladders
+        ],
+    }
+    with open(os.path.join(rs.REPO, "BENCH", "scaling_summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
     print(md)
 
 

@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import platform
 import time
 from pathlib import Path
 from typing import Callable
@@ -61,8 +62,15 @@ def save_probe_table(rows: list[dict], path=None) -> Path:
     context (m_bits, host note, ...)."""
     p = Path(path) if path is not None else probe_table_path()
     p.parent.mkdir(parents=True, exist_ok=True)
-    p.write_text(json.dumps({"rows": rows}, indent=1))
+    meta = {"saved_at": time.time(), "host": platform.node()}
+    p.write_text(json.dumps({"rows": rows, **meta}, indent=1))
     return p
+
+
+# measurements older than this are ignored on auto-load: a table measured in
+# a different hypervisor epoch (or on a pre-migration host) must not silently
+# steer suggest_config_cost weeks later (ADVICE r3)
+PROBE_TABLE_MAX_AGE_S = 7 * 86400
 
 
 # filters at or below this size are cache-resident on the measured hosts;
@@ -74,17 +82,29 @@ def _regime(m_bits: int) -> bool:
     return m_bits <= _CACHE_REGIME_BITS
 
 
-def load_probe_table(path=None) -> dict | None:
+def load_probe_table(path=None, max_age_s: float | None = None) -> dict | None:
     """Load the persisted table as {(block_bits, sectors, zones, k,
     cache_regime): ns} — cache_regime is derived from the m_bits the
     measurement ran at, so a cache-resident 2^21-bit measurement never
     overrides the model's memory-bound estimate for a multi-GB filter.
-    None when absent/unreadable (callers fall back to the fitted model)."""
+    None when absent/unreadable, STALE (older than ``max_age_s``, default
+    PROBE_TABLE_MAX_AGE_S) or measured on a different host — callers fall
+    back to the fitted model rather than trusting ambient measurements from
+    another machine or frequency epoch."""
     p = Path(path) if path is not None else probe_table_path()
     try:
         data = json.loads(p.read_text())
     except (OSError, ValueError):
         return None
+    age_cap = PROBE_TABLE_MAX_AGE_S if max_age_s is None else max_age_s
+    saved_at = data.get("saved_at")
+    if saved_at is not None and time.time() - float(saved_at) > age_cap:
+        return None
+    host = data.get("host")
+    if host is not None and host != platform.node():
+        return None
+    # legacy tables (no saved_at/host) still load — provenance via
+    # resolve_probe_cost's cost_source lets callers see what they got
     out = {}
     for r in data.get("rows", []):
         try:

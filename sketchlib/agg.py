@@ -122,7 +122,7 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None, part_col: 
                 # the sparse cap rather than the dense worst case
                 return max(cfg.m // 8, 1 << 12)
             if isinstance(cfg, CMSConfig):
-                return cfg.depth * cfg.width * 8
+                return cfg.depth * cfg.width * (cfg.counter_bits // 8)
             if isinstance(cfg, CuckooConfig):
                 return cfg.capacity * 2  # uint16 tag table
             return 1 << 16  # KLL/tdigest/minhash: KBs
@@ -507,7 +507,13 @@ def _merge_group(pdf):
     blobs = list(pdf["blob"])
     name, cfg, _ = blobmod.unpack(blobs[0])
     module = MODULES[name]
-    merged = reduce(module.merge_blobs, blobs)
+    # n-ary merge when the sketch provides one (kll/tdigest): concat-all +
+    # one compaction is permutation-invariant, so the merged bytes do not
+    # depend on partition numbering — the pairwise fold stays for the fully
+    # commutative monoids (bloom OR / hll max / cms add), where it is
+    merged = (module.merge_many_blobs(blobs)
+              if hasattr(module, "merge_many_blobs")
+              else reduce(module.merge_blobs, blobs))
     return pd.DataFrame(
         {
             "sketch": [pdf["sketch"].iloc[0]],
@@ -528,7 +534,7 @@ def _payload_bytes(cfg) -> int:
     if isinstance(cfg, HLLConfig):
         return cfg.m
     if isinstance(cfg, CMSConfig):
-        return cfg.depth * cfg.width * 8
+        return cfg.depth * cfg.width * (cfg.counter_bits // 8)
     if isinstance(cfg, CuckooConfig):
         return cfg.capacity * 2
     return 1 << 16  # KLL/tdigest/minhash

@@ -1,9 +1,14 @@
 """Count-min sketch — NumPy kernels.
 
 Cormode & Muthukrishnan 2005. Not in the reference (filter library); mandated
-by the north rule (BASELINE.json:14). Payload: ``d x w`` int64 counters,
-C-order. Merge = elementwise add (commutative monoid → byte-identical under
-merge permutation). Guarantees (tested in T3): ``est >= true`` always;
+by the north rule (BASELINE.json:14). Payload: ``d x w`` counters, C-order,
+int64 by default or uint8/16/32 with ``cfg.counter_bits`` (variable-width
+counters: 2-8x less state/shuffle at equal eps; adds saturate at
+``cfg.counter_max`` instead of wrapping, so min(cap, sum) stays a
+commutative/associative merge). Merge = elementwise (saturating) add →
+byte-identical under merge permutation. Guarantees (tested in T3):
+``est >= min(true, counter_max)`` always (``counter_max`` unreachable for
+int64, recovering the classic overcount-only contract);
 ``est <= true + eps * N`` with probability >= 1 - delta per query.
 
 Row updates use ``np.bincount`` (fast histogram) instead of the notoriously
@@ -21,8 +26,23 @@ from sketchlib.hashing import splitmix64
 _CHUNK = 1 << 22
 
 
+_DTYPES = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.int64}
+
+
 def empty(cfg: CMSConfig) -> np.ndarray:
-    return np.zeros((cfg.depth, cfg.width), dtype=np.int64)
+    return np.zeros((cfg.depth, cfg.width), dtype=_DTYPES[cfg.counter_bits])
+
+
+def _sat_add_row(row: np.ndarray, delta: np.ndarray, cfg: CMSConfig) -> None:
+    """row += delta, saturating at cfg.counter_max for narrow counters (the
+    int64 default adds exactly — cell loads cannot reach 2**63)."""
+    if cfg.counter_bits == 64:
+        row += delta
+        return
+    tmp = row.astype(np.int64)
+    tmp += delta
+    np.minimum(tmp, cfg.counter_max, out=tmp)
+    row[:] = tmp.astype(row.dtype)
 
 
 def _cols(values: np.ndarray, row: int, cfg: CMSConfig) -> np.ndarray:
@@ -36,7 +56,7 @@ def insert(counters: np.ndarray, values: np.ndarray, cfg: CMSConfig) -> None:
     for lo in range(0, values.shape[0], _CHUNK):
         chunk = values[lo : lo + _CHUNK]
         for r in range(cfg.depth):
-            counters[r] += np.bincount(_cols(chunk, r, cfg), minlength=w)
+            _sat_add_row(counters[r], np.bincount(_cols(chunk, r, cfg), minlength=w), cfg)
 
 
 def insert_weighted(
@@ -50,12 +70,15 @@ def insert_weighted(
         chunk = uniq[lo : lo + _CHUNK]
         cw = wts[lo : lo + _CHUNK]
         for r in range(cfg.depth):
-            counters[r] += np.bincount(_cols(chunk, r, cfg), weights=cw, minlength=w).astype(np.int64)
+            _sat_add_row(
+                counters[r],
+                np.bincount(_cols(chunk, r, cfg), weights=cw, minlength=w).astype(np.int64),
+                cfg)
 
 
 def query(counters: np.ndarray, values: np.ndarray, cfg: CMSConfig) -> np.ndarray:
     """Point-query estimates (int64) for a batch of values: min over d rows."""
-    est = counters[0][_cols(values, 0, cfg)]
+    est = counters[0][_cols(values, 0, cfg)].astype(np.int64)
     for r in range(1, cfg.depth):
         est = np.minimum(est, counters[r][_cols(values, r, cfg)])
     return est
@@ -94,7 +117,8 @@ def build_blob(values: np.ndarray, cfg: CMSConfig) -> bytes:
 
 
 def _payload_to_counters(cfg: CMSConfig, payload: bytes) -> np.ndarray:
-    return np.frombuffer(payload, dtype=np.int64).reshape(cfg.depth, cfg.width)
+    return np.frombuffer(payload, dtype=_DTYPES[cfg.counter_bits]).reshape(
+        cfg.depth, cfg.width)
 
 
 def merge_blobs(a: bytes, b: bytes) -> bytes:
@@ -103,7 +127,13 @@ def merge_blobs(a: bytes, b: bytes) -> bytes:
     if na != "cms" or nb != "cms":
         raise SketchConfigError("merge_blobs: not cms blobs")
     ca.require_same(cb)
-    merged = _payload_to_counters(ca, pa) + _payload_to_counters(cb, pb)
+    ca_counters = _payload_to_counters(ca, pa)
+    merged = ca_counters.astype(np.int64) + _payload_to_counters(cb, pb)
+    if ca.counter_bits != 64:
+        # saturating merge: commutative and associative (min(cap, a+b) folds
+        # the same under any grouping because addition saturates upward)
+        np.minimum(merged, ca.counter_max, out=merged)
+        merged = merged.astype(ca_counters.dtype)
     return blobmod.pack("cms", ca, merged.tobytes())
 
 

@@ -148,15 +148,32 @@ class HLLConfig(_Cfg):
 
 @dataclass(frozen=True)
 class CMSConfig(_Cfg):
-    """Count-min sketch: ``d x w`` int64 counters; w=ceil(e/eps), d=ceil(ln 1/delta)."""
+    """Count-min sketch: ``d x w`` counters; w=ceil(e/eps), d=ceil(ln 1/delta).
+
+    ``counter_bits`` (8/16/32/64, default 64) picks the stored counter width
+    — the variable-width-counter memory win (e.g. 16-bit counters = 4x less
+    state/shuffle at equal eps when per-cell loads stay below 65,535;
+    PAPERS.md, VLDB 2023). Narrow counters SATURATE at their max instead of
+    wrapping, so the one-sided guarantee degrades gracefully to
+    ``est >= min(true, counter_max)``; merges saturate the same way and stay
+    commutative/associative. The default keeps the classic int64 exact
+    overcount-only contract."""
 
     eps: float = 0.0005
     delta: float = 0.01
     hash_seed: int = 0
+    counter_bits: int = 64
 
     def __post_init__(self) -> None:
         if not (0 < self.eps < 1) or not (0 < self.delta < 1):
             raise SketchConfigError("eps and delta must be in (0, 1)")
+        if self.counter_bits not in (8, 16, 32, 64):
+            raise SketchConfigError("counter_bits must be one of 8, 16, 32, 64")
+
+    @property
+    def counter_max(self) -> int:
+        """Saturation cap (int64 counters never saturate in practice)."""
+        return (1 << 63) - 1 if self.counter_bits == 64 else (1 << self.counter_bits) - 1
 
     @property
     def width(self) -> int:

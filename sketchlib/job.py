@@ -259,6 +259,10 @@ def run_files(
     yield no partial and are harmlessly re-scanned on resume (empty scan)."""
     _fs_mkdirs(spark, checkpoint_dir)
     files = tuple(agg.list_data_files(spark, path))
+    if not files:
+        # mirror build_partials_files: fail here with a typed error instead
+        # of a raw AnalysisException on the nonexistent partials dir later
+        raise SketchConfigError(f"no parquet data files under {path}")
     job = FileJobSpec(specs=tuple(specs), files=files, group_by=group_by)
     meta_p = _meta_path(checkpoint_dir)
     if _fs_exists(spark, meta_p):

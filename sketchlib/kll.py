@@ -44,24 +44,51 @@ def _coin(arr: np.ndarray) -> int:
     return int(x & np.uint64(1))
 
 
+# Fixed ingest quantum: arriving values are buffered and compacted only at
+# exact multiples of this many values, so the serialized state is a pure
+# function of the per-partition VALUE SEQUENCE — independent of how the
+# engine chunked it (Spark's 64Ki Arrow batches vs pyarrow's per-file reads
+# used to yield layout-divergent blobs; round-3 VERDICT item 7).
+INGEST_QUANTUM = 65536
+
+
 class KLL:
     """In-memory KLL state (levels of float64 arrays + exact n)."""
 
-    __slots__ = ("cfg", "levels", "n")
+    __slots__ = ("cfg", "levels", "n", "_pending", "_pending_size")
 
     def __init__(self, cfg: KLLConfig):
         self.cfg = cfg
         self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
         self.n = 0
+        self._pending: list[np.ndarray] = []
+        self._pending_size = 0
 
     def update(self, values: np.ndarray) -> None:
         v = np.asarray(values, dtype=np.float64)
         v = v[~np.isnan(v)]
         if v.size == 0:
             return
+        self._pending.append(v)
+        self._pending_size += int(v.size)
+        while self._pending_size >= INGEST_QUANTUM:
+            buf = np.concatenate(self._pending)
+            self._ingest(buf[:INGEST_QUANTUM])
+            rest = buf[INGEST_QUANTUM:]
+            self._pending = [rest] if rest.size else []
+            self._pending_size = int(rest.size)
+
+    def _ingest(self, v: np.ndarray) -> None:
         self.n += int(v.size)
         self.levels[0] = np.concatenate([self.levels[0], v])
         self._compress(force=True)
+
+    def _flush(self) -> None:
+        if self._pending_size:
+            buf = np.concatenate(self._pending)
+            self._pending = []
+            self._pending_size = 0
+            self._ingest(buf)
 
     def _compress(self, force: bool) -> None:
         """Compact any level over capacity (build) or over the lazy guard
@@ -95,6 +122,8 @@ class KLL:
 
     def merge(self, other: "KLL") -> "KLL":
         self.cfg.require_same(other.cfg)
+        self._flush()
+        other._flush()
         out = KLL(self.cfg)
         out.n = self.n + other.n
         H = max(len(self.levels), len(other.levels))
@@ -109,6 +138,7 @@ class KLL:
     # -- estimation ----------------------------------------------------------
 
     def _weighted_items(self) -> tuple[np.ndarray, np.ndarray]:
+        self._flush()
         items = np.concatenate(self.levels) if self.levels else np.empty(0)
         weights = np.concatenate(
             [np.full(arr.size, 1 << h, dtype=np.int64) for h, arr in enumerate(self.levels)]
@@ -140,10 +170,17 @@ class KLL:
     # -- serialization ---------------------------------------------------------
 
     def to_payload(self) -> bytes:
+        # Canonical form: each level serialized SORTED. Within-level order
+        # carries no information (compaction and estimation both sort), so
+        # sorting makes the bytes a pure function of the level multisets —
+        # together with merge_many_blobs this gives byte-identical merged
+        # blobs regardless of partition numbering / merge fold order.
+        self._flush()
         counts = [arr.size for arr in self.levels]
         head = struct.pack("<QI", self.n, len(counts))
         head += struct.pack(f"<{len(counts)}Q", *counts) if counts else b""
-        body = np.concatenate(self.levels).astype(np.float64).tobytes() if counts else b""
+        body = (np.concatenate([np.sort(a, kind="stable") for a in self.levels])
+                .astype(np.float64).tobytes() if counts else b"")
         return head + body
 
     @classmethod
@@ -183,6 +220,38 @@ def merge_blobs(a: bytes, b: bytes) -> bytes:
     ca.require_same(cb)
     merged = KLL.from_payload(ca, pa).merge(KLL.from_payload(cb, pb))
     return blobmod.pack("kll", ca, merged.to_payload())
+
+
+def merge_many_blobs(blobs: list[bytes]) -> bytes:
+    """N-ary merge: level-wise concat of ALL inputs, then ONE lazy-guard
+    compaction pass. Because the concatenated level multisets are unions
+    (order-free) and compaction + serialization are pure functions of the
+    multisets, the result is byte-identical under ANY permutation of
+    ``blobs`` — unlike a pairwise fold, where the guard can fire at
+    different accumulation points. agg._merge_group uses this so the two
+    build engines (physical-partition ids vs file indices) merge to the
+    same bytes."""
+    states = []
+    cfg = None
+    for b in blobs:
+        name, c, payload = blobmod.unpack(b)
+        if name != "kll":
+            raise SketchConfigError("merge_many_blobs: not kll blobs")
+        if cfg is None:
+            cfg = c
+        else:
+            cfg.require_same(c)
+        states.append(KLL.from_payload(c, payload))
+    out = KLL(cfg)
+    out.n = sum(s.n for s in states)
+    H = max(len(s.levels) for s in states)
+    out.levels = [
+        np.concatenate([s.levels[h] for s in states if h < len(s.levels)]
+                       or [np.empty(0, dtype=np.float64)])
+        for h in range(H)
+    ]
+    out._compress(force=False)
+    return blobmod.pack("kll", cfg, out.to_payload())
 
 
 def quantiles_blob(blob: bytes, qs) -> np.ndarray:

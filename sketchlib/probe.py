@@ -51,10 +51,15 @@ def _append_col_map(df: DataFrame, blob: bytes, col: str, out: str, kernel, out_
             csum = np.r_[0, np.cumsum(res_flat.astype(np.int64))]
             hits = csum[np.r_[starts, flat.shape[0]][1:]] - csum[starts]
             res = hits == seg_len if array_mode == "all" else hits > 0
+        elif mask is not None:
+            # drop-and-reinsert instead of fill_null(sentinel): works for any
+            # key type (fill_null(0) raises ArrowTypeError on string keys)
+            vals = arr.drop_null().to_numpy(zero_copy_only=False)
+            res_valid = kernel(vals, payload_blob)
+            res = np.zeros(len(arr), dtype=res_valid.dtype)
+            res[~mask] = res_valid
         else:
-            vals = (arr.fill_null(0) if arr.null_count else arr).to_numpy(
-                zero_copy_only=False)
-            res = kernel(vals, payload_blob)
+            res = kernel(arr.to_numpy(zero_copy_only=False), payload_blob)
         return pa.array(res, type=out_type, mask=mask)
 
     type_str = {pa.bool_(): "boolean", pa.int64(): "bigint", pa.float64(): "double"}[out_type]

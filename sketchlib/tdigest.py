@@ -48,27 +48,55 @@ def compress(means: np.ndarray, weights: np.ndarray, compression: float) -> tupl
     return (msum[nz] / wsum[nz]).astype(np.float64), wsum[nz].astype(np.float64)
 
 
+# Fixed ingest quantum (see sketchlib/kll.py): recompression fires only at
+# exact multiples of this many buffered values, so the serialized centroid
+# list depends on the per-partition value sequence alone, not on how the
+# engine batched it (round-3 VERDICT item 7 — cross-engine byte parity).
+INGEST_QUANTUM = 65536
+
+
 class TDigest:
-    __slots__ = ("cfg", "means", "weights", "n")
+    __slots__ = ("cfg", "means", "weights", "n", "_pending", "_pending_size")
 
     def __init__(self, cfg: TDigestConfig):
         self.cfg = cfg
         self.means = np.empty(0, dtype=np.float64)
         self.weights = np.empty(0, dtype=np.float64)
         self.n = 0
+        self._pending: list[np.ndarray] = []
+        self._pending_size = 0
 
     def update(self, values: np.ndarray) -> None:
         v = np.asarray(values, dtype=np.float64)
         v = v[~np.isnan(v)]
         if v.size == 0:
             return
+        self._pending.append(v)
+        self._pending_size += int(v.size)
+        while self._pending_size >= INGEST_QUANTUM:
+            buf = np.concatenate(self._pending)
+            self._ingest(buf[:INGEST_QUANTUM])
+            rest = buf[INGEST_QUANTUM:]
+            self._pending = [rest] if rest.size else []
+            self._pending_size = int(rest.size)
+
+    def _ingest(self, v: np.ndarray) -> None:
         self.n += int(v.size)
         self.means = np.concatenate([self.means, v])
         self.weights = np.concatenate([self.weights, np.ones(v.size)])
         self.means, self.weights = compress(self.means, self.weights, self.cfg.compression)
 
+    def _flush(self) -> None:
+        if self._pending_size:
+            buf = np.concatenate(self._pending)
+            self._pending = []
+            self._pending_size = 0
+            self._ingest(buf)
+
     def merge(self, other: "TDigest") -> "TDigest":
         self.cfg.require_same(other.cfg)
+        self._flush()
+        other._flush()
         out = TDigest(self.cfg)
         out.n = self.n + other.n
         out.means = np.concatenate([self.means, other.means])
@@ -78,6 +106,7 @@ class TDigest:
         return out
 
     def quantiles(self, qs) -> np.ndarray:
+        self._flush()
         qs = np.asarray(qs, dtype=np.float64)
         if self.means.size == 0:
             return np.full(qs.shape, np.nan)
@@ -89,8 +118,14 @@ class TDigest:
         return np.interp(targets, centers, m, left=m[0], right=m[-1])
 
     def to_payload(self) -> bytes:
+        # Canonical form: centroids serialized sorted by (mean, weight) —
+        # the state is a multiset (quantiles() recompresses, which sorts),
+        # so sorted bytes are a pure function of it. See kll.to_payload.
+        self._flush()
         head = struct.pack("<Q", self.n)
-        body = np.column_stack([self.means, self.weights]).astype(np.float64).tobytes()
+        order = np.lexsort((self.weights, self.means))
+        body = np.column_stack(
+            [self.means[order], self.weights[order]]).astype(np.float64).tobytes()
         return head + body
 
     @classmethod
@@ -122,6 +157,34 @@ def merge_blobs(a: bytes, b: bytes) -> bytes:
     ca.require_same(cb)
     merged = TDigest.from_payload(ca, pa).merge(TDigest.from_payload(cb, pb))
     return blobmod.pack("tdigest", ca, merged.to_payload())
+
+
+def merge_many_blobs(blobs: list[bytes]) -> bytes:
+    """N-ary merge: concat ALL centroid lists, then at most one
+    multiset-deterministic compress — byte-identical under any permutation
+    of ``blobs`` (a pairwise fold can hit the max_centroids guard at
+    order-dependent points). See kll.merge_many_blobs."""
+    means, weights, n = [], [], 0
+    cfg = None
+    for b in blobs:
+        name, c, payload = blobmod.unpack(b)
+        if name != "tdigest":
+            raise SketchConfigError("merge_many_blobs: not tdigest blobs")
+        if cfg is None:
+            cfg = c
+        else:
+            cfg.require_same(c)
+        st = TDigest.from_payload(c, payload)
+        means.append(st.means)
+        weights.append(st.weights)
+        n += st.n
+    out = TDigest(cfg)
+    out.n = n
+    out.means = np.concatenate(means)
+    out.weights = np.concatenate(weights)
+    if out.means.size > cfg.max_centroids:
+        out.means, out.weights = compress(out.means, out.weights, cfg.compression)
+    return blobmod.pack("tdigest", cfg, out.to_payload())
 
 
 def quantiles_blob(blob: bytes, qs) -> np.ndarray:

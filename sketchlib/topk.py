@@ -11,9 +11,13 @@ top-k item if it is not in any partition's local top-c — take c a few times k
 (default 4x) to make that practically impossible under any skew that matters
 (a true heavy hitter is heavy somewhere).
 
-Everything rides the existing machinery: candidates are tiny (c rows per
-partition) and the CMS is the usual mergeable blob — one mapInArrow pass,
-one blob-merge, no data shuffle.
+Everything rides the existing machinery: ONE mapInArrow pass per partition
+emits both its candidate rows AND its CMS partial blob (both are
+per-partition monoids over the same ``np.unique`` result, so fusing them is
+free — round 3 scanned the input twice, once per side, doubling the dominant
+cost at scale). The tiny fused output (c candidate rows + one KB-to-MB blob
+row per partition) is cached; candidates union via a groupBy, blobs merge
+through the standard B-ary tree. The 100 TB input is read exactly once.
 """
 
 from __future__ import annotations
@@ -25,8 +29,68 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
 
-from sketchlib import agg, arrowutil, cms
+from sketchlib import agg, arrowutil, blob as blobmod, cms
 from sketchlib.config import CMSConfig
+
+# candidate rows carry (value, cnt); partial rows carry agg.PARTIAL_SCHEMA's
+# fields with value/cnt null — one union schema so one pass emits both
+_FUSED_SCHEMA = (
+    "value bigint, cnt bigint, "
+    "sketch string, group string, part int, blob binary, "
+    "rows bigint, items bigint, t_ms double"
+)
+
+
+def _fused_scan(df: DataFrame, col: str, c: int, cfg: CMSConfig) -> DataFrame:
+    """The single input pass: per partition, emit c candidate rows plus one
+    CMS-partial row (union schema). Callers persist the (tiny) result and
+    split it into the candidate and partial sides without rescanning."""
+    import time
+
+    cfg_json = cfg.to_json()
+
+    def local_pass(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        from sketchlib.config import CMSConfig as _CMSConfig
+
+        part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
+        t0 = time.perf_counter()
+        local_cfg = _CMSConfig.from_json(cfg_json)
+        agg_arrays = []
+        n_rows = 0
+        for batch in batches:
+            agg_arrays.append(arrowutil.sketch_values(batch.column(col)))
+            n_rows += batch.num_rows
+        if not agg_arrays:
+            return
+        flat = np.concatenate(agg_arrays)
+        uniq, cnt = np.unique(flat, return_counts=True)
+        # CMS partial from the SAME unique pass (weighted insert: one hash
+        # per distinct value instead of one per occurrence)
+        builder = cms.new_builder(local_cfg)
+        builder.update_unique(uniq, cnt)
+        payload = blobmod.pack("cms", local_cfg, builder.to_payload())
+        if uniq.size > c:
+            top = np.argpartition(-cnt, c - 1)[:c]
+            uniq, cnt = uniq[top], cnt[top]
+        yield pa.RecordBatch.from_pydict(
+            {
+                "value": pa.array(list(uniq.astype(np.int64)) + [None], pa.int64()),
+                "cnt": pa.array(list(cnt.astype(np.int64)) + [None], pa.int64()),
+                "sketch": pa.array([None] * uniq.size + ["cms"], pa.string()),
+                "group": pa.array([None] * uniq.size + [""], pa.string()),
+                "part": pa.array([None] * uniq.size + [part_id], pa.int32()),
+                "blob": pa.array([None] * uniq.size + [payload], pa.binary()),
+                "rows": pa.array([None] * uniq.size + [n_rows], pa.int64()),
+                "items": pa.array([None] * uniq.size + [int(flat.size)], pa.int64()),
+                "t_ms": pa.array(
+                    [None] * uniq.size + [(time.perf_counter() - t0) * 1e3],
+                    pa.float64()),
+            }
+        )
+
+    return df.select(col).mapInArrow(local_pass, _FUSED_SCHEMA)
 
 
 def approx_topk(
@@ -40,37 +104,27 @@ def approx_topk(
     column or array<int> column, flattened)."""
     c = candidates_per_partition or max(4 * k, 64)
     cfg = cms_cfg or CMSConfig(eps=0.0005, delta=0.01)
+    fused = _fused_scan(df, col, c, cfg).persist()
+    try:
+        cand = (
+            fused.where(F.col("blob").isNull())
+            .groupBy("value").agg(F.sum("cnt").alias("cnt"))
+            .orderBy(F.desc("cnt"), "value")
+            .limit(4 * c)
+        )
+        cand_vals = np.array([r["value"] for r in cand.collect()], dtype=np.int64)
+        if cand_vals.size == 0:
+            return []
 
-    def local_candidates(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        counts: dict[int, int] = {}
-        agg_arrays = []
-        for batch in batches:
-            agg_arrays.append(arrowutil.sketch_values(batch.column(col)))
-        if agg_arrays:
-            flat = np.concatenate(agg_arrays)
-            uniq, cnt = np.unique(flat, return_counts=True)
-            if uniq.size > c:
-                top = np.argpartition(-cnt, c - 1)[:c]
-                uniq, cnt = uniq[top], cnt[top]
-            yield pa.RecordBatch.from_pydict(
-                {"value": uniq.astype(np.int64), "cnt": cnt.astype(np.int64)},
-                schema=pa.schema([("value", pa.int64()), ("cnt", pa.int64())]),
-            )
-
-    cand = (
-        df.select(col)
-        .mapInArrow(local_candidates, "value bigint, cnt bigint")
-        .groupBy("value").agg(F.sum("cnt").alias("cnt"))
-        .orderBy(F.desc("cnt"), "value")
-        .limit(4 * c)
-    )
-    cand_vals = np.array([r["value"] for r in cand.collect()], dtype=np.int64)
-    if cand_vals.size == 0:
-        return []
-
-    blob = agg.collect_blobs(
-        agg.build_sketches(df, [agg.SketchSpec("cms", cfg, col)])
-    )[("cms", "")]
+        partials = fused.where(F.col("blob").isNotNull()).select(
+            "sketch", "group", "part", "blob", "rows", "items", "t_ms")
+        fanout = agg._auto_fanout([agg.SketchSpec("cms", cfg, col)])
+        n_parts = df.rdd.getNumPartitions()
+        merged = agg.merge_partials(
+            partials, fanout=fanout, levels=agg.merge_levels(fanout, n_parts))
+        blob = agg.collect_blobs(merged)[("cms", "")]
+    finally:
+        fused.unpersist()
     est = cms.query_blob(cand_vals, blob)
     order = np.lexsort((cand_vals, -est))[:k]
     return [(int(cand_vals[i]), int(est[i])) for i in order]

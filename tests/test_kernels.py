@@ -243,3 +243,103 @@ def test_hll_sparse_dense_parity_and_merge_modes():
     hll.insert(regs2, np.r_[small, other], cfg)
     assert hll.estimate_registers(regs2, cfg.p) == hll.estimate_blob(mm)
     assert np.array_equal(hll.decode_registers(blobmod.unpack(mm)[2], cfg.p), regs2)
+
+
+# ---------- ingest-chunk invariance (round-4: fixed ingest quanta) -----------
+
+def test_kll_chunk_invariance():
+    """The serialized KLL state must be a pure function of the value
+    SEQUENCE, not of how callers chunked it: values are buffered and
+    compacted only at fixed INGEST_QUANTUM boundaries."""
+    import numpy as np
+
+    from sketchlib import blob as blobmod
+    from sketchlib.config import KLLConfig
+    from sketchlib.kll import KLL
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=200_000)  # > 2 quanta
+    cfg = KLLConfig(k=200)
+    one = KLL(cfg)
+    one.update(vals)
+    for n_chunks in (3, 37, 501):
+        chunked = KLL(cfg)
+        for part in np.array_split(vals, n_chunks):
+            chunked.update(part)
+        assert chunked.to_payload() == one.to_payload(), n_chunks
+
+
+def test_tdigest_chunk_invariance():
+    import numpy as np
+
+    from sketchlib.config import TDigestConfig
+    from sketchlib.tdigest import TDigest
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=200_000)
+    cfg = TDigestConfig(compression=100)
+    one = TDigest(cfg)
+    one.update(vals)
+    for n_chunks in (3, 37, 501):
+        chunked = TDigest(cfg)
+        for part in np.array_split(vals, n_chunks):
+            chunked.update(part)
+        assert chunked.to_payload() == one.to_payload(), n_chunks
+
+
+def test_kll_tdigest_merge_many_permutation_invariant():
+    """merge_many_blobs (the n-ary merge agg._merge_group uses) must be
+    byte-identical under any permutation of its inputs — this is what makes
+    the merged blob independent of partition numbering across engines."""
+    import numpy as np
+
+    from sketchlib import kll, tdigest
+    from sketchlib.config import KLLConfig, TDigestConfig
+
+    rng = np.random.default_rng(13)
+    kll_blobs = [kll.build_blob(rng.normal(size=5_000), KLLConfig(k=200))
+                 for _ in range(7)]
+    td_blobs = [tdigest.build_blob(rng.normal(size=5_000),
+                                   TDigestConfig(compression=100))
+                for _ in range(7)]
+    k_ref = kll.merge_many_blobs(kll_blobs)
+    t_ref = tdigest.merge_many_blobs(td_blobs)
+    for seed in (1, 2, 3):
+        perm = np.random.default_rng(seed).permutation(7)
+        assert kll.merge_many_blobs([kll_blobs[i] for i in perm]) == k_ref
+        assert tdigest.merge_many_blobs([td_blobs[i] for i in perm]) == t_ref
+
+
+def test_cms_narrow_counters():
+    """Variable-width counters (round-4, PAPERS.md VLDB'23): identical
+    estimates to int64 while every cell load fits the width; saturation
+    (est >= min(true, counter_max)) beyond; saturating merge stays
+    order-independent."""
+    import numpy as np
+
+    from sketchlib import cms
+    from sketchlib.config import CMSConfig
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 500, 20_000, dtype=np.int64)
+    probe = np.arange(500, dtype=np.int64)
+    wide = cms.build_blob(vals, CMSConfig(eps=0.01, delta=0.01))
+    for bits in (16, 32):
+        narrow = cms.build_blob(vals, CMSConfig(eps=0.01, delta=0.01, counter_bits=bits))
+        assert len(narrow) < len(wide)
+        assert np.array_equal(cms.query_blob(probe, narrow),
+                              cms.query_blob(probe, wide)), bits
+
+    # 8-bit saturation: a single hot key far above 255 caps at counter_max
+    cfg8 = CMSConfig(eps=0.01, delta=0.01, counter_bits=8)
+    hot = np.zeros(10_000, dtype=np.int64)
+    blob8 = cms.build_blob(hot, cfg8)
+    assert cms.query_blob(np.array([0]), blob8)[0] == cfg8.counter_max
+
+    # saturating merge: same result under any merge order, and capped
+    parts = [cms.build_blob(np.full(120, 7, dtype=np.int64), cfg8) for _ in range(4)]
+    from functools import reduce
+    m1 = reduce(cms.merge_blobs, parts)
+    m2 = reduce(cms.merge_blobs, parts[::-1])
+    assert m1 == m2
+    assert cms.query_blob(np.array([7]), m1)[0] == cfg8.counter_max

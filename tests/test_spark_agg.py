@@ -217,31 +217,34 @@ def test_hll_sparse_high_cardinality_grouped_build(spark):
 
 def test_arrow_scan_fast_path_parity(spark, tmp_path):
     """build_sketches_files (pyarrow file scan) must agree with the
-    DataFrame path: byte-identical blobs for the layout-invariant sketches
-    (bloom OR, hll max, cms add), estimate-level parity for the
-    chunking-sensitive compactor sketches (kll, tdigest)."""
+    DataFrame path BYTE-IDENTICALLY for all five sketches (round-4: fixed
+    ingest quanta + canonical serialization + permutation-invariant n-ary
+    merge closed the kll/tdigest carve-out). The df leg pins one Spark
+    partition per file (maxPartitionBytes below file size) so both engines
+    see the same per-partition value sequences — the fast path's natural
+    layout; with coarser packing the compactor sketches fall back to
+    estimate-level parity."""
     path = str(tmp_path / "corpus")
     datagen.corpus_df(spark, 4_000, partitions=6).write.mode("overwrite").parquet(path)
-    df = spark.read.parquet(path)
-    specs = [
-        agg.SketchSpec("bloom", BloomConfig(m_bits=1 << 20, k=8, word_bits=64,
-                                            words_per_block=8, sectors=8), "tokens"),
-        agg.SketchSpec("hll", HLLConfig(p=12), "tokens"),
-        agg.SketchSpec("cms", CMSConfig(eps=0.001, delta=0.01), "tokens"),
-        agg.SketchSpec("kll", KLLConfig(k=200), "n_tok"),
-        agg.SketchSpec("tdigest", TDigestConfig(compression=100), "n_tok"),
-    ]
-    ref = agg.collect_blobs(agg.build_sketches(df, specs))
-    fast = agg.collect_blobs(agg.build_sketches_files(spark, path, specs))
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try:
+        df = spark.read.parquet(path)
+        specs = [
+            agg.SketchSpec("bloom", BloomConfig(m_bits=1 << 20, k=8, word_bits=64,
+                                                words_per_block=8, sectors=8), "tokens"),
+            agg.SketchSpec("hll", HLLConfig(p=12), "tokens"),
+            agg.SketchSpec("cms", CMSConfig(eps=0.001, delta=0.01), "tokens"),
+            agg.SketchSpec("kll", KLLConfig(k=200), "n_tok"),
+            agg.SketchSpec("tdigest", TDigestConfig(compression=100), "n_tok"),
+        ]
+        ref = agg.collect_blobs(agg.build_sketches(df, specs))
+        fast = agg.collect_blobs(agg.build_sketches_files(spark, path, specs))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
     assert set(ref) == set(fast)
-    for name in ("bloom", "hll", "cms"):
+    for name in ("bloom", "hll", "cms", "kll", "tdigest"):
         assert ref[(name, "")] == fast[(name, "")], name
-    qs = [0.1, 0.5, 0.9]
-    k_ref, k_fast = kll.quantiles_blob(ref[("kll", "")], qs), kll.quantiles_blob(fast[("kll", "")], qs)
-    t_ref, t_fast = tdigest.quantiles_blob(ref[("tdigest", "")], qs), tdigest.quantiles_blob(fast[("tdigest", "")], qs)
-    span = float(df.agg(F.max("n_tok") - F.min("n_tok")).collect()[0][0])
-    assert np.all(np.abs(k_ref - k_fast) <= 0.02 * span + 2), (k_ref, k_fast)
-    assert np.all(np.abs(t_ref - t_fast) <= 0.02 * span + 2), (t_ref, t_fast)
 
 
 def test_arrow_scan_fast_path_grouped_and_deterministic(spark, tmp_path):
