@@ -599,6 +599,36 @@ def sk_cms_heavy_hitters(spark, sf_dir):
     return spark.createDataFrame(rows)
 
 
+def sk_cms_narrow_counters(spark, sf_dir):
+    """Variable-width CMS (round 4): distributed 16-bit-counter build vs the
+    64-bit default at the same (eps, delta) over l_partkey. Below the
+    saturation cap the narrow estimates must equal the wide ones while the
+    blob is ~4x smaller — the state/shuffle win the variable-width-counter
+    literature targets (PAPERS.md). Rows-only (estimates)."""
+    from sketchlib import agg, cms
+    from sketchlib.config import CMSConfig
+
+    li = _t(spark, sf_dir, "lineitem")
+    spec = dict(eps=0.001, delta=0.01)
+    wide = agg.collect_blobs(agg.build_sketches(
+        li, [agg.SketchSpec("cms", CMSConfig(**spec), "l_partkey")]))[("cms", "")]
+    narrow = agg.collect_blobs(agg.build_sketches(
+        li, [agg.SketchSpec("cms", CMSConfig(counter_bits=16, **spec), "l_partkey")]
+    ))[("cms", "")]
+    top = (
+        li.groupBy("l_partkey").count().orderBy(F.desc("count"), "l_partkey").limit(10).collect()
+    )
+    ids = np.array([r["l_partkey"] for r in top], dtype=np.int64)
+    est_w = cms.query_blob(ids, wide)
+    est_n = cms.query_blob(ids, narrow)
+    rows = [
+        Row(l_partkey=int(i), est_wide=int(w), est_narrow=int(n),
+            equal=bool(w == n), wide_bytes=len(wide), narrow_bytes=len(narrow))
+        for i, w, n in zip(ids.tolist(), est_w.tolist(), est_n.tolist())
+    ]
+    return spark.createDataFrame(rows)
+
+
 def sk_kll_quantiles(spark, sf_dir):
     from sketchlib import agg, kll
     from sketchlib.config import KLLConfig
@@ -669,9 +699,10 @@ def sk_langid(spark, sf_dir):
 def sk_build_arrow_scan(spark, sf_dir):
     """Arrow-native file-scan build (round 3 fast path) self-verified
     against the canonical DataFrame-scan build on the same parquet corpus:
-    byte-identical blobs for the layout-invariant sketches (bloom/hll/cms),
-    estimate-level parity for the chunking-sensitive compactors
-    (kll/tdigest). Rows-only by design (engine comparison, not SQL).
+    byte-identical blobs for ALL FIVE sketches (round 4 — fixed ingest
+    quanta + canonical serialization + permutation-invariant n-ary merge
+    closed the former kll/tdigest estimate-only carve-out). Rows-only by
+    design (engine comparison, not SQL).
 
     The fast path exists because the mapInArrow input detour
     (parquet -> InternalRow -> Arrow) measures ~6x the task CPU of a
@@ -980,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_bloom_fpr_grid": sk_bloom_fpr_grid,
         "sk_hll_distinct_by_source": sk_hll_distinct_by_source,
         "sk_cms_heavy_hitters": sk_cms_heavy_hitters,
+        "sk_cms_narrow_counters": sk_cms_narrow_counters,
         "sk_kll_quantiles": sk_kll_quantiles,
         "sk_tdigest_quantiles": sk_tdigest_quantiles,
         "sk_minhash_near_dups": sk_minhash_near_dups,
