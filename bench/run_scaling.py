@@ -237,15 +237,35 @@ def _pairwise_md(runs_n: list[dict], runs_4n: list[dict]) -> tuple[str, dict]:
     pairs: dict[int, dict] = {}
     for r in runs_n:
         if "_pair" in r:
-            pairs.setdefault(r["_pair"], {})["n"] = r
+            pairs.setdefault(r["_pair"], {}).setdefault("n", []).append(r)
     for r in runs_4n:
         if "_pair" in r:
-            pairs.setdefault(r["_pair"], {})["4n"] = r
+            pairs.setdefault(r["_pair"], {}).setdefault("4n", []).append(r)
+
+    def _pick(legs_n: list[dict], legs_4n: list[dict]) -> tuple[dict, dict]:
+        """A hunter restart can append repeat legs under one pair id; choose
+        the best ADMISSIBLE combination by a fixed rule (clean+clean matched
+        > clean-N lower bound > anything; ties by throughput) instead of
+        letting the last-written leg silently shadow a clean one. Epoch
+        admissibility is derived from the legs' own persisted fields, so a
+        cross-restart combination is judged by the same criteria as a
+        back-to-back one."""
+        best, best_key = None, None
+        for a in legs_n:
+            for b in legs_4n:
+                m = pair_matched(a, b)
+                score = (2 if (m and a["clean"] and b["clean"])
+                         else 1 if (m and a["clean"]) else 0)
+                key = (score, b["tokens_per_sec"], a["tokens_per_sec"])
+                if best_key is None or key > best_key:
+                    best, best_key = (a, b), key
+        return best
+
     rows, clean_effs, lb_effs = [], [], []
     for pid, legs in sorted(pairs.items()):
         if "n" not in legs or "4n" not in legs:
             continue
-        a, b = legs["n"], legs["4n"]
+        a, b = _pick(legs["n"], legs["4n"])
         eff_p = (b["tokens_per_sec"] / a["tokens_per_sec"]) / 4.0
         matched = pair_matched(a, b)
         if matched and a["clean"] and b["clean"]:
