@@ -124,19 +124,51 @@ per-ladder pairwise tables below list every pair's efficiency.
                     + " plus ".join(detail) + ")" if detail else
                     f" and **eff = {eff_28:.3f} at the 2 -> 8 ladder** (best clean "
                     "run per level)")
+    # physics ceilings from the committed host probe (bench/probe_host.py):
+    # per-core spin slowdown and aggregate copy bandwidth vs concurrency
+    probe_md = ""
+    try:
+        with open(os.path.join(rs.REPO, "BENCH", "host_probe.json")) as fh:
+            hp = json.load(fh)
+        sr = hp.get("spin_ratio_vs_solo", {})
+        bw = hp.get("copy_bandwidth_gbs", {})
+        ceil_rows = []
+        seen_ladder_sizes = set()
+        for lad in ladders:
+            n, b = str(lad["n_small"]), str(lad["n_big"])
+            if (n, b) in seen_ladder_sizes:
+                continue
+            seen_ladder_sizes.add((n, b))
+            parts = []
+            if n in sr and b in sr:
+                parts.append(f"compute {float(sr[n]) / float(sr[b]):.2f}")
+            if n in bw and b in bw:
+                parts.append(f"bandwidth {(float(bw[b]) / float(bw[n])) / 4:.2f}")
+            if parts:
+                ceil_rows.append(
+                    f"  - local[{n}] -> local[{b}]: eff ceiling ~ "
+                    + ", ".join(parts))
+        if ceil_rows:
+            probe_md = (
+                "\n- Measured single-box efficiency CEILINGS "
+                "(bench/probe_host.py -> BENCH/host_probe.json: per-core "
+                "spin slowdown and aggregate 64 MB-copy bandwidth vs "
+                "process count; a PERFECTLY scaling pipeline cannot beat "
+                "these on one box):\n" + "\n".join(ceil_rows) + "\n")
+    except (OSError, ValueError):
+        pass
+
     lines.append(f"""
 **Headline: eff = {eff1:.3f} >= 0.8 at the 1 -> 4 ladder**{extra_28}
 (the target the north rule sets). Higher ladders on THIS HOST are bounded
 by single-box physics, not by the pipeline:
-
-- Idle-floor calibration (process-pool sort spins, idle host): per-core
-  speed at 4 concurrent cores = 1.33x the single-core time, at 16 = 1.90x,
-  at 32 = 2.53x — all-core turbo drop plus shared-L3/bandwidth pressure.
-  The 4 -> 16 per-core floor alone caps core-scaling efficiency near
-  1.33/1.90 = 0.70 for cache/bandwidth-sensitive work.
-- Memory-bandwidth probe (64 MB copies, process pools): aggregate bandwidth
-  grows only ~7.4x from 1 to 16 processes — the build's dedup/scan path is
-  bandwidth-bound, so 16 local cores share one memory system.
+{probe_md}
+- Round-2 fast-epoch ad-hoc probes (same method, now committed as
+  bench/probe_host.py) read per-core spin 1.33x at 4 procs / 1.90x at 16 /
+  2.53x at 32 and only ~7.4x aggregate bandwidth from 1 to 16 processes —
+  the slowdown curves shift with the hypervisor epoch, which is why the
+  probe is now a reproducible script whose json is epoch-tagged
+  (spin_ms_solo vs the floor).
 - A real 4N-EXECUTOR cluster adds nodes with their own memory controllers
   and caches; core-scaling on one box is the pessimistic stand-in. The
   partials/merge architecture itself shuffles only KB-scale blobs per
