@@ -174,6 +174,22 @@ def main() -> None:
         query_noise[name] = meta
         return out
 
+    # exact-side representative queries on the SF tables — run FIRST, in a
+    # young session: measured round 4, the sketch block's memory churn
+    # (2M-doc builds + the 82M-token array probe) costs the next JVM-side
+    # aggregate ~5 s that no isolated run reproduces (q01 bench-measured
+    # 6.4 s vs 1.0-1.4 s steady-state in any fresh or sketch-warmed
+    # session). One untimed warm-up first: the FIRST whole-stage-codegen
+    # aggregate in a session pays ~6 s of class-load/JIT (q01 cold 7.7 s)
+    # which is session setup, not query cost.
+    import __spark_entry__ as entrymod
+
+    entrymod.q01_pricing_summary(spark, sf_dir).collect()
+    timed("q01_pricing_summary", lambda: entrymod.q01_pricing_summary(spark, sf_dir).collect())
+    timed("q15_orders_by_segment", lambda: entrymod.q15_orders_by_segment(spark, sf_dir).collect())
+    timed("q_minhash_near_dups", lambda: entrymod.sk_minhash_near_dups(spark, sf_dir).count())
+    timed("q_ann_cosine_topk", lambda: entrymod.sk_ann_cosine_topk(spark, sf_dir).collect())
+
     # untimed warm-ups for BOTH engines: JVM JIT, codegen, python worker
     # pool, page cache — so neither build row pays its own cold start (r2's
     # bloom-only row looked 8x slower than the 5-sketch row purely because
@@ -260,14 +276,6 @@ def main() -> None:
             [agg.SketchSpec("hll_g", HLLConfig(p=12), "tokens")], group_by="source"
         ).count(),
     )
-
-    # exact-side representative queries on the SF tables
-    import __spark_entry__ as entrymod
-
-    timed("q01_pricing_summary", lambda: entrymod.q01_pricing_summary(spark, sf_dir).collect())
-    timed("q15_orders_by_segment", lambda: entrymod.q15_orders_by_segment(spark, sf_dir).collect())
-    timed("q_minhash_near_dups", lambda: entrymod.sk_minhash_near_dups(spark, sf_dir).count())
-    timed("q_ann_cosine_topk", lambda: entrymod.sk_ann_cosine_topk(spark, sf_dir).collect())
 
     # measured per-geometry probe costs (ns/key, min-of-reps) — the live
     # input for advisor.suggest_config_cost's performance-optimal selection
