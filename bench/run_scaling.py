@@ -176,9 +176,21 @@ def main() -> None:
     # interleave the two levels so both sample the same noise windows; keep
     # sampling until each level has a clean run (or the round budget is out).
     # Samples are persisted to the ladder's jsonl evidence file (same file
-    # the hunter appends to) so the report assembler sees every run.
+    # the hunter appends to) so the report assembler sees every run — but a
+    # ladder file must hold ONE corpus size (throughputs at different doc
+    # counts are not comparable), so a mismatched n_docs goes to a
+    # quarantined sidecar the report assembler skips.
     jsonl = os.path.join(REPO, "BENCH",
                          f"scaling_runs_{n_small}v{n_big}.jsonl")
+    try:
+        with open(jsonl) as fh:
+            existing_docs = json.loads(fh.readline()).get("n_docs")
+    except (OSError, ValueError):
+        existing_docs = None
+    if existing_docs is not None and existing_docs != n_docs:
+        jsonl = os.path.join(
+            REPO, "BENCH",
+            f"scaling_runs_{n_small}v{n_big}_n{n_docs}_sidecar.jsonl")
 
     def _persist(rec: dict, level: str) -> None:
         rec["_level"] = level
