@@ -150,11 +150,14 @@ per-ladder pairwise tables below list every pair's efficiency.
                     + ", ".join(parts))
         if ceil_rows:
             probe_md = (
-                "\n- Measured single-box efficiency CEILINGS "
-                "(bench/probe_host.py -> BENCH/host_probe.json: per-core "
-                "spin slowdown and aggregate 64 MB-copy bandwidth vs "
-                "process count; a PERFECTLY scaling pipeline cannot beat "
-                "these on one box):\n" + "\n".join(ceil_rows) + "\n")
+                "\n- Measured single-box efficiency BRACKETS "
+                "(bench/probe_host.py -> BENCH/host_probe.json, "
+                "best-per-level across runs): a pure-compute job is capped "
+                "by the per-core spin-slowdown ratio, a pure-memcpy job by "
+                "the aggregate-bandwidth ratio; a perfectly scaling "
+                "pipeline with the build's compute/memory mix lands "
+                "between its two brackets on one box:\n"
+                + "\n".join(ceil_rows) + "\n")
     except (OSError, ValueError):
         pass
 
