@@ -578,33 +578,13 @@ def sk_hll_distinct_by_source(spark, sf_dir):
 
 
 def sk_cms_heavy_hitters(spark, sf_dir):
-    from sketchlib import agg, cms
-    from sketchlib.config import CMSConfig
-
-    li = _t(spark, sf_dir, "lineitem")
-    final = agg.build_sketches(
-        li, [agg.SketchSpec("cms", CMSConfig(eps=0.001, delta=0.01), "l_partkey")]
-    )
-    blob = agg.collect_blobs(final)[("cms", "")]
-    top = (
-        li.groupBy("l_partkey").count().orderBy(F.desc("count"), "l_partkey").limit(20).collect()
-    )
-    ids = np.array([r["l_partkey"] for r in top], dtype=np.int64)
-    true = [int(r["count"]) for r in top]
-    est = cms.query_blob(ids, blob)
-    rows = [
-        Row(l_partkey=int(i), true_count=t, cms_estimate=int(e))
-        for i, t, e in zip(ids.tolist(), true, est.tolist())
-    ]
-    return spark.createDataFrame(rows)
-
-
-def sk_cms_narrow_counters(spark, sf_dir):
-    """Variable-width CMS (round 4): distributed 16-bit-counter build vs the
-    64-bit default at the same (eps, delta) over l_partkey. Below the
-    saturation cap the narrow estimates must equal the wide ones while the
-    blob is ~4x smaller — the state/shuffle win the variable-width-counter
-    literature targets (PAPERS.md). Rows-only (estimates)."""
+    """CMS heavy hitters, wide + narrow counters in ONE query (round 5:
+    folds the former sk_cms_narrow_counters so every registry entry fits the
+    driver's 50-row CORRECTNESS cap). The 64-bit default and the 16-bit
+    variable-width build (round 4, PAPERS.md) run at the same (eps, delta)
+    over l_partkey; below the saturation cap the narrow estimates must equal
+    the wide ones while the blob is ~4x smaller — the state/shuffle win the
+    variable-width-counter literature targets. Rows-only (estimates)."""
     from sketchlib import agg, cms
     from sketchlib.config import CMSConfig
 
@@ -616,15 +596,17 @@ def sk_cms_narrow_counters(spark, sf_dir):
         li, [agg.SketchSpec("cms", CMSConfig(counter_bits=16, **spec), "l_partkey")]
     ))[("cms", "")]
     top = (
-        li.groupBy("l_partkey").count().orderBy(F.desc("count"), "l_partkey").limit(10).collect()
+        li.groupBy("l_partkey").count().orderBy(F.desc("count"), "l_partkey").limit(20).collect()
     )
     ids = np.array([r["l_partkey"] for r in top], dtype=np.int64)
+    true = [int(r["count"]) for r in top]
     est_w = cms.query_blob(ids, wide)
     est_n = cms.query_blob(ids, narrow)
     rows = [
-        Row(l_partkey=int(i), est_wide=int(w), est_narrow=int(n),
-            equal=bool(w == n), wide_bytes=len(wide), narrow_bytes=len(narrow))
-        for i, w, n in zip(ids.tolist(), est_w.tolist(), est_n.tolist())
+        Row(l_partkey=int(i), true_count=t, cms_estimate=int(w),
+            est_narrow16=int(n), narrow_equal=bool(w == n),
+            wide_bytes=len(wide), narrow_bytes=len(narrow))
+        for i, t, w, n in zip(ids.tolist(), true, est_w.tolist(), est_n.tolist())
     ]
     return spark.createDataFrame(rows)
 
@@ -685,17 +667,6 @@ def sk_ngram_jaccard_verify(spark, sf_dir):
     return textops.ngram_jaccard_pairs(d, sigs_pairs.select("a", "b"), shingle_n=3).orderBy("a", "b")
 
 
-def sk_langid(spark, sf_dir):
-    from sketchlib import textops
-
-    d = _t(spark, sf_dir, "documents")
-    return (
-        textops.langid_heuristic(d)
-        .groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("lang_pred")
-    )
-
-
 def sk_build_arrow_scan(spark, sf_dir):
     """Arrow-native file-scan build (round 3 fast path) self-verified
     against the canonical DataFrame-scan build on the same parquet corpus:
@@ -753,9 +724,12 @@ def sk_build_arrow_scan(spark, sf_dir):
 
 
 def sk_langid_trigram(spark, sf_dir):
-    """Char-trigram language ID vs the marker-word heuristic: per
-    (marker, trigram) prediction pair, counts plus the overall agreement
-    rate embedded in every row. The trigram scorer is the capability path
+    """BOTH language-ID methods in one query (round 5: folds the former
+    sk_langid registry entry so every entry fits the driver's 50-row
+    CORRECTNESS cap): per (marker, trigram) prediction pair, counts plus
+    the overall agreement rate embedded in every row — the marker-heuristic
+    distribution is the row-sum over lang_pred, the trigram distribution the
+    row-sum over lang_trigram. The trigram scorer is the capability path
     (real profile-based lang-ID); the marker heuristic stays as the
     SQL-expressible oracle query (q25). Rows-only by design: the kernel's
     accuracy on real multilingual text is asserted in tests/test_textops.py
@@ -1007,17 +981,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_date_parts": q28_date_parts,
         "q29_math_functions": q29_math_functions,
         "q30_json_extract": q30_json_extract,
-        # sketch-side (rows-only)
+        # sketch-side (rows-only). 50 entries TOTAL: the driver's
+        # CORRECTNESS harness caps at 50 rows (r3: 51 registered/50 checked,
+        # r4: 52/50 — the last two dict entries never got rows), so round 5
+        # folded sk_langid into sk_langid_trigram and sk_cms_narrow_counters
+        # into sk_cms_heavy_hitters, and the two former victims
+        # (sk_advisor_skyline, sk_embedding_near_dups) now sit early in the
+        # block so any future cap shrink has different, newer victims.
         "sk_bloom_fpr_grid": sk_bloom_fpr_grid,
+        "sk_advisor_skyline": sk_advisor_skyline,
+        "sk_embedding_near_dups": sk_embedding_near_dups,
         "sk_hll_distinct_by_source": sk_hll_distinct_by_source,
         "sk_cms_heavy_hitters": sk_cms_heavy_hitters,
-        "sk_cms_narrow_counters": sk_cms_narrow_counters,
         "sk_kll_quantiles": sk_kll_quantiles,
         "sk_tdigest_quantiles": sk_tdigest_quantiles,
         "sk_minhash_near_dups": sk_minhash_near_dups,
         "sk_simhash_near_dups": sk_simhash_near_dups,
         "sk_ngram_jaccard_verify": sk_ngram_jaccard_verify,
-        "sk_langid": sk_langid,
         "sk_langid_trigram": sk_langid_trigram,
         "sk_build_arrow_scan": sk_build_arrow_scan,
         "sk_doc_fingerprints": sk_doc_fingerprints,
@@ -1028,8 +1008,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_token_near_dups": sk_token_near_dups,
         "sk_corpus_pipeline": sk_corpus_pipeline,
         "sk_cuckoo_membership": sk_cuckoo_membership,
-        "sk_advisor_skyline": sk_advisor_skyline,
-        "sk_embedding_near_dups": sk_embedding_near_dups,
     }
 
 

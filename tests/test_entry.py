@@ -87,6 +87,10 @@ def test_sketch_query_runs_and_is_deterministic(spark, name):
 def test_every_query_has_unique_name_coverage():
     qs = entrymod.queries()
     assert len(qs) >= 30
+    # the driver's CORRECTNESS harness records at most 50 rows (observed two
+    # rounds running: 51 registered -> 50 checked, 52 -> 50); every registered
+    # query must land inside the cap or it silently never gets a driver row
+    assert len(qs) <= 50, "queries() exceeds the driver's 50-row CORRECTNESS cap"
     assert set(entrymod.oracle_sql()) <= set(qs)
 
 
