@@ -228,6 +228,13 @@ def main() -> None:
     probes = spark.range(5_000_000).select(
         (F.col("id") % (1 << 18)).cast("int").alias("t")
     )
+    # untimed probe warm-up — same policy the build engines and q01 get:
+    # the first probe of a session pays blob broadcast + Arrow-UDF python
+    # worker spin-up, and it used to run straight out of the (often
+    # contended) build window. Round 4 recorded probe_5m at 2.83 s vs
+    # probe_20m at 0.62 s on the SAME blob — a first-probe artifact, not a
+    # kernel difference. One throwaway pass absorbs it.
+    probe.with_bloom_membership(probes, bloom_blob, "t").filter("member").count()
     timed(
         "q_bloom_probe_5m",
         lambda: probe.with_bloom_membership(probes, bloom_blob, "t")
@@ -326,6 +333,12 @@ def main() -> None:
     with open(side_path, "w") as fh:
         json.dump(side, fh, indent=1)
     spark.stop()
+    # per-query clean flags travel WITH the headline (round-4 lesson: a
+    # contended q_bloom_build sat unannotated in the recorded value; the
+    # driver's record must be able to tell a dirty window from a
+    # regression). Names only — the full noise dict stays in the sidecar so
+    # the line cannot outgrow the driver's stdout tail capture again.
+    dirty = sorted(k for k, m in query_noise.items() if not m.get("clean", True))
     headline = {
         "metric": "sketchlib headline (5-sketch distributed build + probe + exact/dedup/ANN)",
         "value": total,
@@ -336,6 +349,7 @@ def main() -> None:
         "host_speed_factor": host_speed_factor,
         "build_tokens_per_sec": extra["sketch_build_tokens_per_sec"],
         "probe20_keys_per_sec": extra["bloom_probe20_keys_per_sec"],
+        "dirty": dirty,
         "noise_detail": "BENCH/noise_last.json",
     }
     sys.stdout.flush()

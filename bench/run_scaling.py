@@ -182,11 +182,23 @@ def main() -> None:
     # quarantined sidecar the report assembler skips.
     jsonl = os.path.join(REPO, "BENCH",
                          f"scaling_runs_{n_small}v{n_big}.jsonl")
+    # scan for the first record that actually carries n_docs — the file can
+    # open with an error/hunter record without it (ADVICE r4), and keying the
+    # quarantine off a single blind readline would let mismatched-corpus
+    # samples into a ladder the report assembler treats as one corpus
+    existing_docs = None
     try:
         with open(jsonl) as fh:
-            existing_docs = json.loads(fh.readline()).get("n_docs")
-    except (OSError, ValueError):
-        existing_docs = None
+            for line in fh:
+                try:
+                    nd = json.loads(line).get("n_docs")
+                except ValueError:
+                    continue
+                if nd is not None:
+                    existing_docs = nd
+                    break
+    except OSError:
+        pass
     if existing_docs is not None and existing_docs != n_docs:
         jsonl = os.path.join(
             REPO, "BENCH",

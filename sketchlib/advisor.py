@@ -56,13 +56,32 @@ def probe_table_path() -> Path:
     return Path(os.environ.get(PROBE_TABLE_ENV, str(_DEFAULT_PROBE_TABLE)))
 
 
+def host_fingerprint() -> str:
+    """Stable hardware identity: CPU model + logical core count. hostnames
+    change every boot in containerized/ephemeral environments, so keying the
+    probe table on platform.node() silently discarded fresh measurements on
+    the next run (ADVICE r4); the CPU model survives reboots and still
+    rejects tables carried to genuinely different hardware."""
+    model = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.lower().startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        model = platform.processor() or platform.machine()
+    return f"{model}/{os.cpu_count()}c"
+
+
 def save_probe_table(rows: list[dict], path=None) -> Path:
     """Persist measured probe costs; each row carries the config identity
     (block_bits, sectors, zones, k) plus ``ns`` (ns/key) and free-form
     context (m_bits, host note, ...)."""
     p = Path(path) if path is not None else probe_table_path()
     p.parent.mkdir(parents=True, exist_ok=True)
-    meta = {"saved_at": time.time(), "host": platform.node()}
+    meta = {"saved_at": time.time(), "host": platform.node(),
+            "host_fp": host_fingerprint()}
     p.write_text(json.dumps({"rows": rows, **meta}, indent=1))
     return p
 
@@ -100,9 +119,16 @@ def load_probe_table(path=None, max_age_s: float | None = None) -> dict | None:
     saved_at = data.get("saved_at")
     if saved_at is not None and time.time() - float(saved_at) > age_cap:
         return None
-    host = data.get("host")
-    if host is not None and host != platform.node():
-        return None
+    fp = data.get("host_fp")
+    if fp is not None:
+        if fp != host_fingerprint():
+            return None
+    else:
+        # legacy tables keyed on hostname only: keep the old check so a
+        # table copied from a different machine is still rejected
+        host = data.get("host")
+        if host is not None and host != platform.node():
+            return None
     # legacy tables (no saved_at/host) still load — provenance via
     # resolve_probe_cost's cost_source lets callers see what they got
     out = {}

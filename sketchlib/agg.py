@@ -125,7 +125,15 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None, part_col: 
                 return cfg.depth * cfg.width * (cfg.counter_bits // 8)
             if isinstance(cfg, CuckooConfig):
                 return cfg.capacity * 2  # uint16 tag table
-            return 1 << 16  # KLL/tdigest/minhash: KBs
+            if isinstance(cfg, (KLLConfig, TDigestConfig)):
+                # fixed-quanta ingest (round 4 byte-parity protocol) holds up
+                # to INGEST_QUANTUM float64 pending plus level/centroid state
+                # — ~0.75 MB per builder, ~8x the old 64 KB charge, so the
+                # 4 GiB guard trips BEFORE a many-group build OOMs
+                quantum = kll.INGEST_QUANTUM if isinstance(cfg, KLLConfig) \
+                    else tdigest.INGEST_QUANTUM
+                return quantum * 8 + (1 << 18)
+            return 1 << 16  # minhash: KBs
 
         def _get(name, module, cfg, group, pid):
             key = (name, group, pid)

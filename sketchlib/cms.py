@@ -107,7 +107,14 @@ def new_builder(cfg: CMSConfig) -> CMSBuilder:
 
 
 def merge_payloads(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return a + b
+    """Saturating add, matching merge_blobs: narrow unsigned counters clamp
+    at the dtype max (== cfg.counter_max) instead of wrapping. min(cap, a+b)
+    is commutative and associative, so any merge grouping agrees."""
+    if a.dtype == np.int64:
+        return a + b
+    wide = a.astype(np.int64) + b
+    np.minimum(wide, np.iinfo(a.dtype).max, out=wide)
+    return wide.astype(a.dtype)
 
 
 def build_blob(values: np.ndarray, cfg: CMSConfig) -> bytes:
@@ -145,6 +152,9 @@ def query_blob(values: np.ndarray, blob: bytes) -> np.ndarray:
 
 
 def total_blob(blob: bytes) -> int:
-    """N — total insertions (row sums are all N; use row 0)."""
+    """N — total insertions (row sums are all N; use row 0). Caveat for
+    narrow counters: once any cell in the row has saturated at counter_max
+    the row sum undercounts true N — exact only below the saturation cap
+    (always exact for the 64-bit default)."""
     name, cfg, payload = blobmod.unpack(blob)
     return int(_payload_to_counters(cfg, payload)[0].sum())

@@ -65,22 +65,40 @@ META_SCHEMA = "media_id bigint, kind int, height int, width int, channels int, n
 FEAT_SCHEMA = "media_id bigint, mean_px double, std_px double, thumb array<int>"
 
 
-def _batch_headers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+def _batch_headers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
     """Vectorized header gather over an Arrow binary column: one fancy-index
     into the (zero-copy) data buffer pulls every blob's 6 header bytes at
     once — no Python loop over rows (round-3 VERDICT item 6). Returns
-    (headers[n, 6] uint8, blob_lengths[n])."""
+    (headers[n, 6] uint8, blob_lengths[n], valid_mask or None).
+
+    Null blob rows occupy zero-length offset slots; they are masked via the
+    validity bitmap (caller emits null output rows for them) rather than
+    tripping the short-blob check — only a genuinely short NON-null blob
+    raises."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     bufs = arr.buffers()
     off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
     offs = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset: arr.offset + len(arr) + 1]
     lengths = np.diff(offs)
-    if lengths.size and lengths.min() < 10:
+    valid = None
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+    checked = lengths if valid is None else lengths[valid]
+    if checked.size and checked.min() < 10:
         raise ValueError("media blob shorter than the 10-byte header")
-    data = np.frombuffer(bufs[2], dtype=np.uint8)
-    hdr = data[offs[:-1, None] + np.arange(4, 10)]
-    return hdr, lengths
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else \
+        np.zeros(0, np.uint8)
+    starts = offs[:-1]
+    if valid is not None:
+        # null rows gather from a safe in-bounds position (their values are
+        # masked out downstream); valid rows are >=10 bytes so unclamped
+        starts = np.where(valid, starts, 0)
+    if data.size < 10:
+        hdr = np.zeros((len(lengths), 6), np.uint8)
+    else:
+        hdr = data[starts[:, None] + np.arange(4, 10)]
+    return hdr, lengths, valid
 
 
 def extract_metadata(df: DataFrame, blob_col: str = "blob", id_col: str = "media_id") -> DataFrame:
@@ -92,15 +110,16 @@ def extract_metadata(df: DataFrame, blob_col: str = "blob", id_col: str = "media
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            hdr, lengths = _batch_headers(batch.column(blob_col))
+            hdr, lengths, valid = _batch_headers(batch.column(blob_col))
             i32 = hdr.astype(np.int32)
+            mask = None if valid is None else ~valid  # pa mask: True = null
             yield pa.RecordBatch.from_pydict({
                 "media_id": batch.column(id_col).cast(pa.int64()),
-                "kind": pa.array(i32[:, 0], pa.int32()),
-                "height": pa.array(i32[:, 1] | (i32[:, 2] << 8), pa.int32()),
-                "width": pa.array(i32[:, 3] | (i32[:, 4] << 8), pa.int32()),
-                "channels": pa.array(i32[:, 5], pa.int32()),
-                "n_bytes": pa.array(lengths.astype(np.int64), pa.int64()),
+                "kind": pa.array(i32[:, 0], pa.int32(), mask=mask),
+                "height": pa.array(i32[:, 1] | (i32[:, 2] << 8), pa.int32(), mask=mask),
+                "width": pa.array(i32[:, 3] | (i32[:, 4] << 8), pa.int32(), mask=mask),
+                "channels": pa.array(i32[:, 5], pa.int32(), mask=mask),
+                "n_bytes": pa.array(lengths.astype(np.int64), pa.int64(), mask=mask),
             })
 
     return df.select(id_col, blob_col).mapInArrow(fn, META_SCHEMA)

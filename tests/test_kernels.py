@@ -343,3 +343,11 @@ def test_cms_narrow_counters():
     m2 = reduce(cms.merge_blobs, parts[::-1])
     assert m1 == m2
     assert cms.query_blob(np.array([7]), m1)[0] == cfg8.counter_max
+
+    # merge_payloads saturates like merge_blobs instead of wrapping
+    # (ADVICE r4): 200+200 on uint8 counters caps at 255, never 144
+    a = np.full((2, 4), 200, dtype=np.uint8)
+    merged = cms.merge_payloads(a, a)
+    assert merged.dtype == np.uint8 and (merged == 255).all()
+    w = np.full((2, 4), 3, dtype=np.int64)
+    assert (cms.merge_payloads(w, w) == 6).all()

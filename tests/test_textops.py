@@ -326,6 +326,29 @@ def test_multimodal_metadata_and_features(spark):
     assert feats == feats2
 
 
+def test_multimodal_metadata_null_blobs(spark):
+    """NULL media rows must come back as null metadata rows, not abort the
+    whole Arrow batch with a short-blob error (ADVICE r4); genuinely short
+    non-null blobs must still raise."""
+    from pyspark.sql import functions as F
+
+    media = multimodal.synth_media_df(spark, 20, partitions=2)
+    with_nulls = media.withColumn(
+        "blob", F.when(F.col("media_id") % 5 == 0, F.lit(None)).otherwise(F.col("blob"))
+    )
+    meta = {r["media_id"]: r for r in multimodal.extract_metadata(with_nulls).collect()}
+    assert len(meta) == 20
+    for mid, r in meta.items():
+        if mid % 5 == 0:
+            assert r["kind"] is None and r["n_bytes"] is None
+        else:
+            assert r["kind"] == multimodal.KIND_IMAGE and r["n_bytes"] >= 10
+    # a genuinely short non-null blob still raises for its batch
+    bad = spark.createDataFrame([(999, bytearray(b"tiny"))], "media_id long, blob binary")
+    with pytest.raises(Exception, match="shorter than"):
+        multimodal.extract_metadata(bad).collect()
+
+
 def test_real_codec_absent_raises(spark):
     with pytest.raises(NotImplementedError):
         multimodal.CODEC.decode_image(b"\x89PNG\r\n\x1a\n garbage")
