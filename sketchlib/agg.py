@@ -474,7 +474,13 @@ def build_partials_files_indexed(
                 paths = pb.column("path").to_pylist()
                 for fidx, fpath in zip(idxs, paths):
                     pf = pq.ParquetFile(_open(fpath))
-                    for rb in pf.iter_batches(columns=cols, batch_size=batch_size):
+                    # use_threads=False: Spark already runs one task per
+                    # core; the default lets EVERY worker process spin
+                    # pyarrow's full cpu_count() decode pool (32 threads x
+                    # 32 tasks on the bench box) — measured slower even
+                    # solo, and oversubscription thrash on the wide legs
+                    for rb in pf.iter_batches(columns=cols, batch_size=batch_size,
+                                              use_threads=False):
                         yield rb.append_column(
                             _FILE_PART,
                             pa.array(np.full(rb.num_rows, fidx, dtype=np.int64)))

@@ -113,9 +113,18 @@ def _shingle_hashes(word_h: np.ndarray, starts: np.ndarray, n: int) -> tuple[np.
     seg_len = ends - starts
     n_sh = np.maximum(seg_len - (n - 1), np.minimum(seg_len, 1))
     out_starts = np.r_[0, np.cumsum(n_sh)[:-1]]
-    idx = np.concatenate(
-        [np.arange(s, s + c) for s, c in zip(starts, n_sh) if c > 0]
-    ) if n_sh.sum() else np.empty(0, dtype=np.int64)
+    # gather index = concat of arange(s, s+c) per doc, built with ONE
+    # repeat/cumsum ramp — no per-doc Python (the old list-comprehension
+    # concatenate was the last Python loop in the minhash hot path)
+    total_sh = int(n_sh.sum())
+    if total_sh:
+        nz = n_sh > 0
+        c_nz = n_sh[nz]
+        seg_off = np.repeat(np.r_[0, np.cumsum(c_nz)[:-1]], c_nz)
+        idx = (np.repeat(starts[nz], c_nz)
+               + np.arange(total_sh, dtype=np.int64) - seg_off)
+    else:
+        idx = np.empty(0, dtype=np.int64)
     return splitmix64(acc[idx]), out_starts.astype(np.int64)
 
 

@@ -57,15 +57,53 @@ def _fused_scan(df: DataFrame, col: str, c: int, cfg: CMSConfig) -> DataFrame:
         part_id = TaskContext.get().partitionId() if TaskContext.get() else -1
         t0 = time.perf_counter()
         local_cfg = _CMSConfig.from_json(cfg_json)
-        agg_arrays = []
+        # stream per-batch counts into a running histogram (bounded int
+        # domain) or per-batch unique lists (anything else) — the old
+        # accumulate-then-concatenate held the partition's ENTIRE token
+        # stream a second time, pure memcpy the bandwidth-bound arrow
+        # ladder pays for (round-4 VERDICT item 4); state here is
+        # O(distinct), not O(tokens)
+        hist = np.zeros(0, np.int64)
+        uniq_parts: list[np.ndarray] = []
+        cnt_parts: list[np.ndarray] = []
         n_rows = 0
+        n_items = 0
+        saw_batch = False
         for batch in batches:
-            agg_arrays.append(arrowutil.sketch_values(batch.column(col)))
+            saw_batch = True
+            v = arrowutil.sketch_values(batch.column(col))
             n_rows += batch.num_rows
-        if not agg_arrays:
+            n_items += int(v.size)
+            if not v.size:
+                continue
+            if v.dtype.kind in "iu":
+                vmin, vmax = int(v.min()), int(v.max())
+                if 0 <= vmin and vmax < (1 << 22):
+                    if vmax >= hist.size:
+                        grown = np.zeros(vmax + 1, np.int64)
+                        grown[: hist.size] = hist
+                        hist = grown
+                    hist += np.bincount(v, minlength=hist.size)
+                    continue
+            u_b, c_b = np.unique(v, return_counts=True)
+            uniq_parts.append(u_b.astype(np.int64))
+            cnt_parts.append(c_b.astype(np.int64))
+        if not saw_batch:
             return
-        flat = np.concatenate(agg_arrays)
-        uniq, cnt = np.unique(flat, return_counts=True)
+        if hist.size:
+            nz = np.flatnonzero(hist)
+            uniq_parts.append(nz.astype(np.int64))
+            cnt_parts.append(hist[nz])
+        if len(uniq_parts) > 1:
+            uu = np.concatenate(uniq_parts)
+            cc = np.concatenate(cnt_parts)
+            uniq, inv = np.unique(uu, return_inverse=True)
+            cnt = np.bincount(inv, weights=cc).astype(np.int64)
+        elif uniq_parts:
+            uniq, cnt = uniq_parts[0], cnt_parts[0]
+        else:
+            uniq = np.empty(0, np.int64)
+            cnt = np.empty(0, np.int64)
         # CMS partial from the SAME unique pass (weighted insert: one hash
         # per distinct value instead of one per occurrence)
         builder = cms.new_builder(local_cfg)
@@ -83,7 +121,7 @@ def _fused_scan(df: DataFrame, col: str, c: int, cfg: CMSConfig) -> DataFrame:
                 "part": pa.array([None] * uniq.size + [part_id], pa.int32()),
                 "blob": pa.array([None] * uniq.size + [payload], pa.binary()),
                 "rows": pa.array([None] * uniq.size + [n_rows], pa.int64()),
-                "items": pa.array([None] * uniq.size + [int(flat.size)], pa.int64()),
+                "items": pa.array([None] * uniq.size + [n_items], pa.int64()),
                 "t_ms": pa.array(
                     [None] * uniq.size + [(time.perf_counter() - t0) * 1e3],
                     pa.float64()),
