@@ -95,6 +95,14 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None, part_col: 
     """``part_col``: if given, the logical partition id is read from that
     column (deterministic, data-derived — the checkpoint/resume path keys
     lineage on it); otherwise the physical Spark partition id is used."""
+    for s in specs:
+        if isinstance(s.cfg, CMSConfig) and getattr(s.cfg, "conservative", False):
+            raise SketchConfigError(
+                f"spec '{s.name}': conservative-update CMS is not mergeable — "
+                "the distributed build produces per-partition partials whose "
+                "addition forfeits CU's tightness; use cms.build_blob in one "
+                "pass for the query path, or the default plain-update config"
+            )
     spec_list = [(s.name, s.sketch, s.cfg.to_json(), s.col) for s in specs]
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

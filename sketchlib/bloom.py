@@ -68,6 +68,20 @@ def _block_base64(h0: np.ndarray, cfg: BloomConfig) -> np.ndarray:
     return blk * np.uint64(cfg.block_bits)
 
 
+def _hash32(keys: np.ndarray, idx: int, cfg: BloomConfig) -> np.ndarray:
+    """Per-index 32-bit hash in the configured family. ``"mul"`` is the
+    reference's multiplicative family (A8); ``"mix"`` takes the top 32 bits
+    of the splitmix64 finalizer (A9-class, full avalanche) — the optional
+    stronger family for structured key sets (kept off the default path to
+    preserve reference FPR parity)."""
+    if cfg.hash_family == "mul":
+        return mul_hash32(keys, idx, cfg.hash_seed)
+    from sketchlib.hashing import splitmix64
+
+    return (splitmix64(keys, seed=cfg.hash_seed * 131 + idx)
+            >> np.uint64(32)).astype(np.uint32)
+
+
 def _bit_indices(keys: np.ndarray, cfg: BloomConfig) -> np.ndarray:
     """Global bit positions, shape (k, n), for a chunk of keys.
 
@@ -87,15 +101,19 @@ def _bit_indices32(keys: np.ndarray, cfg: BloomConfig) -> np.ndarray:
     sector_bits = cfg.sector_bits
     lb_sector = _log2(sector_bits)
 
-    h0 = mul_hash32(keys, 0, seed)
+    mix = cfg.hash_family != "mul"
+    h0 = _hash32(keys, 0, cfg)
     block_base = _block_base32(h0, cfg)
 
     out = np.empty((k, n), dtype=np.uint32)
     if z == 1:
         for i in range(k):
             row = out[i]
-            np.multiply(keys.astype(np.uint32, copy=False),
-                        _mul_const(1 + i, seed), out=row)
+            if mix:
+                row[:] = _hash32(keys, 1 + i, cfg)
+            else:
+                np.multiply(keys.astype(np.uint32, copy=False),
+                            _mul_const(1 + i, seed), out=row)
             np.right_shift(row, np.uint32(32 - lb_sector), out=row)
             row += block_base
             if i % s:
@@ -106,14 +124,17 @@ def _bit_indices32(keys: np.ndarray, cfg: BloomConfig) -> np.ndarray:
     spz, kpz = s // z, k // z
     lb_z = _log2(z)
     for g in range(z):
-        hz = mul_hash32(keys, 1 + k + g, seed)
+        hz = _hash32(keys, 1 + k + g, cfg)
         zone_base = block_base + (hz >> np.uint32(32 - lb_z)) * np.uint32(zone_bits) \
             if lb_z else block_base
         for j in range(kpz):
             i = g * kpz + j
             row = out[i]
-            np.multiply(keys.astype(np.uint32, copy=False),
-                        _mul_const(1 + i, seed), out=row)
+            if mix:
+                row[:] = _hash32(keys, 1 + i, cfg)
+            else:
+                np.multiply(keys.astype(np.uint32, copy=False),
+                            _mul_const(1 + i, seed), out=row)
             np.right_shift(row, np.uint32(32 - lb_sector), out=row)
             row += zone_base
             if j % spz:
@@ -137,14 +158,18 @@ def _bit_rows32(keys: np.ndarray, cfg: BloomConfig):
     sector_bits = cfg.sector_bits
     lb_sector = _log2(sector_bits)
     keys32 = keys.astype(np.uint32, copy=False)
+    mix = cfg.hash_family != "mul"
 
-    h0 = mul_hash32(keys, 0, seed)
+    h0 = _hash32(keys, 0, cfg)
     block_base = _block_base32(h0, cfg)
     row = np.empty(n, dtype=np.uint32)
 
     if z == 1:
         for i in range(k):
-            np.multiply(keys32, _mul_const(1 + i, seed), out=row)
+            if mix:
+                row[:] = _hash32(keys, 1 + i, cfg)
+            else:
+                np.multiply(keys32, _mul_const(1 + i, seed), out=row)
             np.right_shift(row, np.uint32(32 - lb_sector), out=row)
             row += block_base
             if i % s:
@@ -156,12 +181,15 @@ def _bit_rows32(keys: np.ndarray, cfg: BloomConfig):
     spz, kpz = s // z, k // z
     lb_z = _log2(z)
     for g in range(z):
-        hz = mul_hash32(keys, 1 + k + g, seed)
+        hz = _hash32(keys, 1 + k + g, cfg)
         zone_base = block_base + (hz >> np.uint32(32 - lb_z)) * np.uint32(zone_bits) \
             if lb_z else block_base
         for j in range(kpz):
             i = g * kpz + j
-            np.multiply(keys32, _mul_const(1 + i, seed), out=row)
+            if mix:
+                row[:] = _hash32(keys, 1 + i, cfg)
+            else:
+                np.multiply(keys32, _mul_const(1 + i, seed), out=row)
             np.right_shift(row, np.uint32(32 - lb_sector), out=row)
             row += zone_base
             if j % spz:
@@ -174,7 +202,7 @@ def _bit_indices64(keys: np.ndarray, cfg: BloomConfig) -> np.ndarray:
     B = cfg.block_bits
     seed = cfg.hash_seed
 
-    h0 = mul_hash32(keys, 0, seed)
+    h0 = _hash32(keys, 0, cfg)
     block_base = _block_base64(h0, cfg)
 
     z = cfg.zones
@@ -187,7 +215,7 @@ def _bit_indices64(keys: np.ndarray, cfg: BloomConfig) -> np.ndarray:
 
     if z == 1:
         for i in range(k):
-            hi = mul_hash32(keys, 1 + i, seed)
+            hi = _hash32(keys, 1 + i, cfg)
             off = (hi >> np.uint32(32 - lb_sector)).astype(np.uint64)
             sec = i % s
             out[i] = block_base + np.uint64(sec * sector_bits) + off
@@ -199,12 +227,12 @@ def _bit_indices64(keys: np.ndarray, cfg: BloomConfig) -> np.ndarray:
     kpz = k // z  # hashes per zone group
     lb_z = _log2(z)
     for g in range(z):
-        hz = mul_hash32(keys, 1 + k + g, seed)
+        hz = _hash32(keys, 1 + k + g, cfg)
         zone = (hz >> np.uint32(32 - lb_z)).astype(np.uint64) if lb_z else 0
         zone_base = block_base + zone * np.uint64(zone_bits)
         for j in range(kpz):
             i = g * kpz + j
-            hi = mul_hash32(keys, 1 + i, seed)
+            hi = _hash32(keys, 1 + i, cfg)
             off = (hi >> np.uint32(32 - lb_sector)).astype(np.uint64)
             sec = j % spz
             out[i] = zone_base + np.uint64(sec * sector_bits) + off

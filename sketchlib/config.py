@@ -68,6 +68,15 @@ class BloomConfig(_Cfg):
     ``word_bits``/``words_per_block`` define the *logical* block geometry used
     by the FPR math; the payload is stored as little-endian bytes (bit i of
     the filter = byte ``i>>3``, bit ``i&7``) so storage is endian-free.
+
+    ``hash_family`` picks the per-probe hash: ``"mul"`` (default) is the
+    reference's multiplicative (Knuth) family (A8) — one 32-bit multiply per
+    probe, FPR-parity with the published formulas on well-distributed keys.
+    ``"mix"`` is the splitmix64 finalizer family (A9-class): full avalanche,
+    robust when key sets carry structure the linear multiply preserves
+    (arithmetic progressions, low-entropy low bits) at ~3x the hash ALU cost.
+    Same analytic FPR model (both are treated as uniform); blobs from
+    different families never merge (config identity differs).
     """
 
     m_bits: int = 1 << 20
@@ -78,12 +87,17 @@ class BloomConfig(_Cfg):
     zones: int = 1
     hash_seed: int = 0
     addressing: str = "pow2"
+    hash_family: str = "mul"
 
     def __post_init__(self) -> None:
         B = self.block_bits
         if self.addressing not in ("pow2", "magic"):
             raise SketchConfigError(
                 f"addressing must be 'pow2' or 'magic', got {self.addressing!r}"
+            )
+        if self.hash_family not in ("mul", "mix"):
+            raise SketchConfigError(
+                f"hash_family must be 'mul' or 'mix', got {self.hash_family!r}"
             )
         if self.addressing == "pow2" and not _is_pow2(self.m_bits):
             raise SketchConfigError(
@@ -163,6 +177,14 @@ class CMSConfig(_Cfg):
     delta: float = 0.01
     hash_seed: int = 0
     counter_bits: int = 64
+    # conservative update (Estan & Varghese, SIGCOMM 2002): each update
+    # raises only the cells at the current minimum, tightening overestimates
+    # on skewed streams while keeping est >= true. NOT mergeable — CU's
+    # tightness does not survive partial addition, so the distributed build
+    # path rejects it and merge_blobs raises; single-pass/query-path only
+    # (cms.build_blob). Off by default: the merged pipeline contract and
+    # cross-engine byte parity both require the plain-update sketch.
+    conservative: bool = False
 
     def __post_init__(self) -> None:
         if not (0 < self.eps < 1) or not (0 < self.delta < 1):

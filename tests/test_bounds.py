@@ -56,6 +56,43 @@ def test_cms_guarantees():
     assert viol <= cfg.delta
 
 
+def test_cms_conservative_update():
+    """CU-CMS (Estan & Varghese 2002; PAPERS.md): still overcount-only,
+    never looser than the plain-update sketch at the same config, and
+    strictly tighter in aggregate on a Zipf stream. Merge and distributed
+    build must refuse CU configs (CU is single-pass/query-path only)."""
+    cfg = CMSConfig(eps=0.005, delta=0.01, conservative=True)
+    plain_cfg = CMSConfig(eps=0.005, delta=0.01)
+    vals = RNG.zipf(1.3, 400_000)
+    vals = vals[vals < 10**6].astype(np.int64)
+    uniq, counts = np.unique(vals, return_counts=True)
+    blob_cu = cms.build_blob(vals, cfg)
+    blob_pl = cms.build_blob(vals, plain_cfg)
+    est_cu = cms.query_blob(uniq, blob_cu)
+    est_pl = cms.query_blob(uniq, blob_pl)
+    assert (est_cu >= counts).all(), "CU-CMS must never underestimate"
+    assert (est_cu <= est_pl).all(), "CU must never be looser than plain CMS"
+    err_cu = float((est_cu - counts).sum())
+    err_pl = float((est_pl - counts).sum())
+    assert err_cu < err_pl, (err_cu, err_pl)
+    # batched CU stays overcount-only across incremental updates too
+    b = cms.new_builder(cfg)
+    for part in np.array_split(vals, 7):
+        b.update(part)
+    from sketchlib import blob as blobmod
+    est_inc = cms.query_blob(
+        uniq, blobmod.pack("cms", cfg, b.to_payload()))
+    assert (est_inc >= counts).all()
+    # not mergeable: blob-level and distributed-build-level rejection
+    from sketchlib.config import SketchConfigError
+    with pytest.raises(SketchConfigError, match="not mergeable"):
+        cms.merge_blobs(blob_cu, blob_cu)
+    from sketchlib import agg
+    with pytest.raises(SketchConfigError, match="not mergeable"):
+        agg._build_partials_fn(
+            [agg.SketchSpec("cms_cu", cfg, "l_partkey")], None, None)
+
+
 @pytest.mark.parametrize("dist", ["normal", "lognormal", "uniform_int"])
 def test_kll_rank_error(dist):
     cfg = KLLConfig(k=200)

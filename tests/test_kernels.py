@@ -161,6 +161,39 @@ def test_bloom_merge_equals_union_build():
     assert merged == bloom.build(np.r_[a, b], cfg)
 
 
+def test_bloom_mix_hash_family():
+    """Optional splitmix64-finalizer family (A9-class, round 5): zero false
+    negatives, empirical FPR consistent with the analytic value, robust on
+    the STRUCTURED key set (arithmetic progression) where the linear
+    multiplicative family is at its weakest, and never merges with a
+    mul-family blob. The default family's bytes are untouched (pinned by
+    test_bloom_matches_scalar_reference)."""
+    from sketchlib import fpr as fprmod
+
+    cfg = BloomConfig(m_bits=1 << 20, k=8, word_bits=64, words_per_block=8,
+                      sectors=8, hash_family="mix")
+    n = 60_000
+    # adversarially structured keys: stride-64 arithmetic progression
+    keys = (np.arange(n, dtype=np.int64) * 64 + 7).astype(np.int32)
+    blob_mix = bloom.build(keys, cfg)
+    assert bloom.contains_blob(keys, blob_mix).all(), "zero FN is hard"
+    probes = RNG.integers(2**25, 2**31 - 1, 200_000).astype(np.int32)
+    probes = probes[(probes - 7) % 64 != 0]
+    emp = float(bloom.contains_blob(probes, blob_mix).mean())
+    ana = float(fprmod.fpr(cfg, n))
+    assert emp < 4 * ana + 1e-4, (emp, ana)
+    # zoned geometry also exercises the zone-hash site
+    zcfg = BloomConfig(m_bits=1 << 20, k=8, word_bits=64, words_per_block=8,
+                       sectors=8, zones=4, hash_family="mix")
+    zb = bloom.build(keys, zcfg)
+    assert bloom.contains_blob(keys, zb).all()
+    # different families are different sketches: merge refuses
+    mul_blob = bloom.build(keys, BloomConfig(
+        m_bits=1 << 20, k=8, word_bits=64, words_per_block=8, sectors=8))
+    with pytest.raises(SketchConfigError):
+        bloom.merge_blobs(blob_mix, mul_blob)
+
+
 def test_bloom_config_mismatch_raises():
     a = bloom.build(np.arange(10, dtype=np.int32), BloomConfig(m_bits=1 << 12, k=2))
     b = bloom.build(np.arange(10, dtype=np.int32), BloomConfig(m_bits=1 << 13, k=2))
