@@ -88,6 +88,15 @@ def _fused_scan(df: DataFrame, col: str, c: int, cfg: CMSConfig) -> DataFrame:
             u_b, c_b = np.unique(v, return_counts=True)
             uniq_parts.append(u_b.astype(np.int64))
             cnt_parts.append(c_b.astype(np.int64))
+            # hot values recur in EVERY batch's unique list; compact
+            # periodically so the fallback path stays O(partition distinct)
+            # rather than O(batches x per-batch distinct)
+            if sum(u.size for u in uniq_parts) > (1 << 23):
+                uu = np.concatenate(uniq_parts)
+                cc = np.concatenate(cnt_parts)
+                cu, inv = np.unique(uu, return_inverse=True)
+                uniq_parts = [cu]
+                cnt_parts = [np.bincount(inv, weights=cc).astype(np.int64)]
         if not saw_batch:
             return
         if hist.size:
