@@ -91,6 +91,117 @@ def save_probe_table(rows: list[dict], path=None) -> Path:
 # steer suggest_config_cost weeks later (ADVICE r3)
 PROBE_TABLE_MAX_AGE_S = 7 * 86400
 
+# ---------------------------------------------------------------------------
+# Size-sweep calibration (reference A15, `tools/calibration` [path-level,
+# unverified]): the reference times probes at filter sizes spanning
+# L1/L2/L3/RAM and persists per-machine cost tables that the optimizer (A16)
+# consumes. The restoration here is the same shape one tier up: a measured
+# t_probe(m) curve per geometry for the NumPy probe kernel, persisted
+# best-per-point across runs (the min over a noisy multi-tenant box is the
+# signal, same policy as BENCH/spin_floor.json), host-fingerprinted and
+# age-capped like the flat probe table. suggest_config_cost interpolates the
+# curve at the candidate's m, so cache-resident and RAM-resident candidates
+# are priced from measurements in their own size regime instead of the
+# two-regime fitted bump.
+
+CALIBRATION_ENV = "SKETCHLIB_CALIBRATION"
+_DEFAULT_CALIBRATION = Path(__file__).resolve().parent.parent / "BENCH" / "calibration.json"
+
+
+def calibration_path() -> Path:
+    return Path(os.environ.get(CALIBRATION_ENV, str(_DEFAULT_CALIBRATION)))
+
+
+def save_calibration(points: list[dict], path=None) -> Path:
+    """Merge measured calibration points into the persisted per-host curve
+    file. Each point: {block_bits, sectors, zones, k, m_bits, ns} plus
+    free-form context (epoch_factor, ...). Merge policy is best-per-point:
+    for an existing (geometry, k, m_bits) key the smaller ns wins and keeps
+    its own timestamp — repeated runs through tenant noise can only tighten
+    the curve. A file from a different host fingerprint is replaced, not
+    merged."""
+    p = Path(path) if path is not None else calibration_path()
+    p.parent.mkdir(parents=True, exist_ok=True)
+    now = time.time()
+    merged: dict[tuple, dict] = {}
+    try:
+        old = json.loads(p.read_text())
+        if old.get("host_fp") == host_fingerprint():
+            for pt in old.get("points", []):
+                key = (int(pt["block_bits"]), int(pt["sectors"]), int(pt["zones"]),
+                       int(pt["k"]), int(pt["m_bits"]))
+                merged[key] = pt
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
+    for pt in points:
+        key = (int(pt["block_bits"]), int(pt["sectors"]), int(pt["zones"]),
+               int(pt["k"]), int(pt["m_bits"]))
+        pt = {**pt, "ts": float(pt.get("ts", now))}
+        prev = merged.get(key)
+        if prev is None or float(pt["ns"]) < float(prev["ns"]):
+            merged[key] = pt
+    body = {"host_fp": host_fingerprint(), "host": platform.node(),
+            "saved_at": now,
+            "points": [merged[k] for k in sorted(merged)]}
+    p.write_text(json.dumps(body, indent=1))
+    return p
+
+
+def load_calibration(path=None, max_age_s: float | None = None) -> dict | None:
+    """Load persisted curves as {(block_bits, sectors, zones, k):
+    [(m_bits, ns), ...] sorted by m_bits}. None when absent, unreadable, or
+    measured on a different host fingerprint; individual points older than
+    the age cap are dropped (each point keeps the timestamp of its best
+    measurement)."""
+    p = Path(path) if path is not None else calibration_path()
+    try:
+        data = json.loads(p.read_text())
+    except (OSError, ValueError):
+        return None
+    if data.get("host_fp") != host_fingerprint():
+        return None
+    age_cap = PROBE_TABLE_MAX_AGE_S if max_age_s is None else max_age_s
+    now = time.time()
+    curves: dict[tuple, list] = {}
+    for pt in data.get("points", []):
+        try:
+            ts = float(pt.get("ts", data.get("saved_at", 0.0)))
+            if now - ts > age_cap:
+                continue
+            geo = (int(pt["block_bits"]), int(pt["sectors"]), int(pt["zones"]),
+                   int(pt["k"]))
+            curves.setdefault(geo, []).append((int(pt["m_bits"]), float(pt["ns"])))
+        except (KeyError, TypeError, ValueError):
+            continue
+    for geo in curves:
+        curves[geo].sort()
+    return curves or None
+
+
+def _calibration_cost_fn(curves: dict,
+                         fallback: Callable[[BloomConfig], float]
+                         ) -> Callable[[BloomConfig], float]:
+    """Cost function interpolating the measured t_probe(m) curve for the
+    config's exact geometry, piecewise-linear in log2(m). Outside the
+    measured size range the curve is clamped to its end value (below L1 the
+    cost is flat anyway; above the largest measured filter the kernel is
+    already memory-bound, so the last point is the best available estimate).
+    Geometries with no curve fall through to ``fallback`` per config."""
+    prepared = {
+        geo: (np.log2([m for m, _ in pts]), np.array([ns for _, ns in pts]))
+        for geo, pts in curves.items()
+    }
+
+    def cost_fn(cfg: BloomConfig) -> float:
+        geo = (cfg.block_bits, cfg.sectors, cfg.zones, cfg.k)
+        pts = prepared.get(geo)
+        if pts is None:
+            return fallback(cfg)
+        xs, ys = pts
+        return float(np.interp(math.log2(cfg.m_bits), xs, ys))
+
+    return cost_fn
+
 
 # filters at or below this size are cache-resident on the measured hosts;
 # above it the model adds the memory-bound per-hash cost (see docstring)
@@ -155,16 +266,23 @@ def _table_cost_fn(table: dict) -> Callable[[BloomConfig], float]:
 
 def resolve_probe_cost(probe_ns=None) -> tuple[Callable[[BloomConfig], float], str]:
     """Pick the probe-cost source: explicit callable/table from the caller,
-    else the bench-measured persisted table, else the fitted model. Returns
+    else the persisted size-sweep calibration curves (A15, bench/calibrate.py),
+    else the bench-measured flat probe table, else the fitted model. Returns
     (cost_fn, source) with source in {'explicit-callable', 'explicit-table',
-    'measured-table', 'fitted-model'} so callers can report provenance."""
+    'calibration-curve', 'measured-table', 'fitted-model'} so callers can
+    report provenance. The calibration cost function falls through to the
+    next source per-config for geometries it has no curve for."""
     if callable(probe_ns):
         return probe_ns, "explicit-callable"
     if isinstance(probe_ns, dict):
         return _table_cost_fn(probe_ns), "explicit-table"
     table = load_probe_table()
+    fallback = _table_cost_fn(table) if table else _model_probe_ns
+    curves = load_calibration()
+    if curves:
+        return _calibration_cost_fn(curves, fallback), "calibration-curve"
     if table:
-        return _table_cost_fn(table), "measured-table"
+        return fallback, "measured-table"
     return _model_probe_ns, "fitted-model"
 
 # geometry menu the selector scans: the reference's main design points

@@ -3,6 +3,8 @@ Property tests over a t_w sweep (the reference's skyline behavior)."""
 
 from __future__ import annotations
 
+import json
+
 import pytest
 
 from sketchlib import advisor, fpr as fprmod
@@ -15,9 +17,10 @@ SWEEP = [0.0, 10.0, 100.0, 1_000.0, 10_000.0, 1e6, 1e8]
 @pytest.fixture(autouse=True)
 def _no_persisted_probe_table(monkeypatch, tmp_path):
     """The model-based properties below must not be perturbed by a
-    bench-persisted probe table lying around in BENCH/ — point the loader at
-    an empty location unless a test writes one itself."""
+    bench-persisted probe table or calibration curve lying around in BENCH/ —
+    point both loaders at empty locations unless a test writes one itself."""
     monkeypatch.setenv(advisor.PROBE_TABLE_ENV, str(tmp_path / "absent.json"))
+    monkeypatch.setenv(advisor.CALIBRATION_ENV, str(tmp_path / "absent_calib.json"))
 
 
 def _cost(cfg: BloomConfig, t_w_ns: float) -> float:
@@ -108,3 +111,91 @@ def test_measure_probe_ns_runs():
     cfg = BloomConfig(m_bits=1 << 20, k=4, word_bits=64, words_per_block=8, sectors=1)
     ns = advisor.measure_probe_ns(cfg, n_keys=20_000, n_probes=100_000, reps=2)
     assert 0.5 < ns < 10_000  # sane range, not a timing artifact
+
+
+# --- A15 size-sweep calibration (bench/calibrate.py persists, advisor consumes)
+
+def _geo64(k=4):
+    return dict(block_bits=64, sectors=1, zones=1, k=k)
+
+
+def test_calibration_best_per_point_merge(tmp_path, monkeypatch):
+    path = tmp_path / "calibration.json"
+    monkeypatch.setenv(advisor.CALIBRATION_ENV, str(path))
+    advisor.save_calibration([dict(**_geo64(), m_bits=1 << 20, ns=30.0)])
+    # a worse (noisier) re-measurement must NOT displace the best point
+    advisor.save_calibration([dict(**_geo64(), m_bits=1 << 20, ns=45.0)])
+    assert advisor.load_calibration()[(64, 1, 1, 4)] == [(1 << 20, 30.0)]
+    # a better one must
+    advisor.save_calibration([dict(**_geo64(), m_bits=1 << 20, ns=22.0),
+                              dict(**_geo64(), m_bits=1 << 24, ns=50.0)])
+    assert advisor.load_calibration()[(64, 1, 1, 4)] == [(1 << 20, 22.0),
+                                                         (1 << 24, 50.0)]
+
+
+def test_calibration_interpolation_and_fallback():
+    curves = {(64, 1, 1, 4): [(1 << 20, 20.0), (1 << 24, 60.0)]}
+    fn = advisor._calibration_cost_fn(curves, fallback=lambda cfg: 999.0)
+    mk = lambda m: BloomConfig(m_bits=m, k=4, word_bits=64, words_per_block=1)
+    assert fn(mk(1 << 20)) == 20.0  # exact at knots
+    assert fn(mk(1 << 24)) == 60.0
+    assert fn(mk(1 << 22)) == pytest.approx(40.0)  # linear in log2(m)
+    assert fn(mk(1 << 16)) == 20.0  # clamped below the measured range
+    assert fn(mk(1 << 28)) == 60.0  # clamped above (already memory-bound)
+    # geometry with no curve -> per-config fallback
+    other = BloomConfig(m_bits=1 << 22, k=8, word_bits=64, words_per_block=8,
+                        sectors=8)
+    assert fn(other) == 999.0
+
+
+def test_calibration_preferred_over_measured_table(tmp_path, monkeypatch):
+    """Source precedence: explicit > calibration-curve > measured-table >
+    fitted-model; and the curve actually steers the pick."""
+    monkeypatch.setenv(advisor.PROBE_TABLE_ENV, str(tmp_path / "pt.json"))
+    monkeypatch.setenv(advisor.CALIBRATION_ENV, str(tmp_path / "cal.json"))
+    assert advisor.resolve_probe_cost(None)[1] == "fitted-model"
+    advisor.save_probe_table(
+        [dict(block_bits=64, sectors=1, zones=1, k=4, m_bits=1 << 21, ns=17.5)])
+    assert advisor.resolve_probe_cost(None)[1] == "measured-table"
+    # calibration that makes every 512-bit-block geometry absurdly expensive
+    points = []
+    for cfg in advisor._candidate_configs(N):
+        ns = 1e9 if cfg.block_bits == 512 else 10.0
+        points.append(dict(block_bits=cfg.block_bits, sectors=cfg.sectors,
+                           zones=cfg.zones, k=cfg.k, m_bits=cfg.m_bits, ns=ns))
+    advisor.save_calibration(points)
+    fn, source = advisor.resolve_probe_cost(None)
+    assert source == "calibration-curve"
+    assert advisor.suggest_config_cost(N, 1_000.0).block_bits != 512
+
+
+def test_calibration_foreign_host_and_stale_points_rejected(tmp_path):
+    path = tmp_path / "cal.json"
+    advisor.save_calibration([dict(**_geo64(), m_bits=1 << 20, ns=30.0)],
+                             path=path)
+    data = json.loads(path.read_text())
+    data["host_fp"] = "some other cpu/8c"
+    path.write_text(json.dumps(data))
+    assert advisor.load_calibration(path) is None
+    # same host but every point past the age cap -> None (model fallback)
+    data["host_fp"] = advisor.host_fingerprint()
+    data["points"][0]["ts"] = 0.0
+    path.write_text(json.dumps(data))
+    assert advisor.load_calibration(path) is None
+    assert advisor.load_calibration(path, max_age_s=1e12) is not None
+
+
+def test_calibrate_sweep_smoke(tmp_path, monkeypatch):
+    """bench/calibrate.py --quick end-to-end on tiny sizes: measures real
+    kernel points, persists, and flips the advisor's cost source."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "calibrate", "bench/calibrate.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setenv(advisor.CALIBRATION_ENV, str(tmp_path / "cal.json"))
+    pts = mod.sweep(quick=True, sizes=[1 << 15, 1 << 18], reps=1,
+                    n_probes=50_000)
+    assert len(pts) >= 4 and all(0.5 < p["ns"] < 100_000 for p in pts)
+    advisor.save_calibration(pts)
+    assert advisor.resolve_probe_cost(None)[1] == "calibration-curve"
