@@ -21,7 +21,8 @@ hypervisor epoch; the min-merge means later fast-epoch runs tighten them.
 
 Usage: python bench/calibrate.py [--quick]
   --quick: 4 sizes x fewer reps (smoke test, ~10 s); default full sweep is
-  ~14 sizes x 13 geometry/k combos, a few minutes.
+  17 sizes (4 KB..256 MB) x 22 geometry/k combos (the advisor's full
+  candidate menu), ~5-15 min depending on the host epoch.
 """
 
 from __future__ import annotations
@@ -41,7 +42,10 @@ from sketchlib import advisor  # noqa: E402
 from sketchlib.config import BloomConfig  # noqa: E402
 
 BITS_PER_KEY = 16
-K_MENU = (4, 8, 16)
+# the advisor's full candidate k menu (advisor._candidate_configs): a k the
+# sweep skips would be priced by the fitted model while its neighbors use
+# measurements — mixed cost scales that can flip the skyline argmin
+K_MENU = (2, 4, 6, 8, 12, 16)
 
 
 def _epoch_factor() -> float:
@@ -49,7 +53,9 @@ def _epoch_factor() -> float:
         with open(os.path.join(REPO, "BENCH", "spin_floor.json")) as fh:
             floor = float(json.load(fh)["spin_floor_ms"])
         return round(noise.spin_ms_parallel(4) / floor, 2)
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError, ZeroDivisionError):
+        # a corrupt spin_floor.json (zero floor, wrong top-level type) must
+        # degrade to the 0.0 sentinel, not abort a multi-minute sweep
         return 0.0
 
 
@@ -58,7 +64,11 @@ def sweep(quick: bool = False, sizes=None, reps=None, n_probes=None) -> list[dic
         sizes = sizes or [1 << b for b in (15, 18, 21, 24)]
         reps, n_probes = reps or 2, n_probes or 200_000
     else:
-        sizes = sizes or [1 << b for b in range(15, 29)]  # 4 KB .. 32 MB payload
+        # 4 KB .. 256 MB payload: the top sizes must be genuinely
+        # RAM-resident even on big-L3 server parts (up to ~320 MB L3), or
+        # the cost fn's above-range clamp would price DRAM-bound candidates
+        # at an L3-resident point's ns/key
+        sizes = sizes or [1 << b for b in range(15, 32)]
         reps, n_probes = reps or 5, n_probes or 500_000
     epoch = _epoch_factor()
     points: list[dict] = []
@@ -69,7 +79,11 @@ def sweep(quick: bool = False, sizes=None, reps=None, n_probes=None) -> list[dic
                 continue
             for m_bits in sizes:
                 cfg = BloomConfig(m_bits=m_bits, k=k, **g)
-                n_keys = max(64, min(m_bits // BITS_PER_KEY, 4_000_000))
+                # probe timing is occupancy-independent (contains is
+                # branchless AND-accumulation over all k rows, no early
+                # exit), so cap the one-time fill at 1M keys — the build,
+                # not the timed probes, dominates sweep time at RAM sizes
+                n_keys = max(64, min(m_bits // BITS_PER_KEY, 1_000_000))
                 ns = advisor.measure_probe_ns(
                     cfg, n_keys=n_keys, n_probes=n_probes, reps=reps)
                 points.append(dict(

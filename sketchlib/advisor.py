@@ -70,6 +70,12 @@ def host_fingerprint() -> str:
                     model = line.split(":", 1)[1].strip()
                     break
     except OSError:
+        pass
+    if not model:
+        # /proc/cpuinfo readable but without a "model name" line (common on
+        # aarch64 kernels): fall back the same way as when it's unreadable,
+        # so two different machines never collapse to a core-count-only
+        # fingerprint like "/32c"
         model = platform.processor() or platform.machine()
     return f"{model}/{os.cpu_count()}c"
 
@@ -128,10 +134,16 @@ def save_calibration(points: list[dict], path=None) -> Path:
         old = json.loads(p.read_text())
         if old.get("host_fp") == host_fingerprint():
             for pt in old.get("points", []):
-                key = (int(pt["block_bits"]), int(pt["sectors"]), int(pt["zones"]),
-                       int(pt["k"]), int(pt["m_bits"]))
+                # per-point guard: one malformed (hand-edited/truncated)
+                # entry must not abort the merge and drop the rest of the
+                # accumulated history on rewrite
+                try:
+                    key = (int(pt["block_bits"]), int(pt["sectors"]),
+                           int(pt["zones"]), int(pt["k"]), int(pt["m_bits"]))
+                except (KeyError, TypeError, ValueError):
+                    continue
                 merged[key] = pt
-    except (OSError, ValueError, KeyError, TypeError):
+    except (OSError, ValueError, TypeError):
         pass
     for pt in points:
         key = (int(pt["block_bits"]), int(pt["sectors"]), int(pt["zones"]),
@@ -140,6 +152,13 @@ def save_calibration(points: list[dict], path=None) -> Path:
         prev = merged.get(key)
         if prev is None or float(pt["ns"]) < float(prev["ns"]):
             merged[key] = pt
+        else:
+            # the best ns stands, but the point was RE-MEASURED now — refresh
+            # its timestamp so the load-side age cap tracks "last confirmed",
+            # not "first measured" (otherwise a point whose timings regressed
+            # keeps its old ts at save time and is then dropped as stale at
+            # load time: the curve would vanish despite recent runs)
+            prev["ts"] = max(float(prev.get("ts", 0.0)), float(pt["ts"]))
     body = {"host_fp": host_fingerprint(), "host": platform.node(),
             "saved_at": now,
             "points": [merged[k] for k in sorted(merged)]}

@@ -30,7 +30,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 from sketchlib import agg, arrowutil, blob as blobmod, cms
-from sketchlib.config import CMSConfig
+from sketchlib.config import CMSConfig, SketchConfigError
 
 # candidate rows carry (value, cnt); partial rows carry agg.PARTIAL_SCHEMA's
 # fields with value/cnt null — one union schema so one pass emits both
@@ -41,13 +41,11 @@ _FUSED_SCHEMA = (
 )
 
 
-def _fused_scan(df: DataFrame, col: str, c: int, cfg: CMSConfig) -> DataFrame:
-    """The single input pass: per partition, emit c candidate rows plus one
-    CMS-partial row (union schema). Callers persist the (tiny) result and
-    split it into the candidate and partial sides without rescanning."""
+def _make_local_pass(col: str, c: int, cfg_json: str):
+    """Build the per-partition fused pass (module-level so unit tests can
+    drive it with raw Arrow batches — e.g. uint64 columns Spark itself never
+    produces but direct Arrow callers can)."""
     import time
-
-    cfg_json = cfg.to_json()
 
     def local_pass(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -79,6 +77,11 @@ def _fused_scan(df: DataFrame, col: str, c: int, cfg: CMSConfig) -> DataFrame:
             if v.dtype.kind in "iu":
                 vmin, vmax = int(v.min()), int(v.max())
                 if 0 <= vmin and vmax < (1 << 22):
+                    if v.dtype == np.uint64:
+                        # np.bincount refuses uint64 ("cannot cast to int64
+                        # by rule safe"); the range check above makes the
+                        # cast exact
+                        v = v.astype(np.int64)
                     if vmax >= hist.size:
                         grown = np.zeros(vmax + 1, np.int64)
                         grown[: hist.size] = hist
@@ -137,7 +140,15 @@ def _fused_scan(df: DataFrame, col: str, c: int, cfg: CMSConfig) -> DataFrame:
             }
         )
 
-    return df.select(col).mapInArrow(local_pass, _FUSED_SCHEMA)
+    return local_pass
+
+
+def _fused_scan(df: DataFrame, col: str, c: int, cfg: CMSConfig) -> DataFrame:
+    """The single input pass: per partition, emit c candidate rows plus one
+    CMS-partial row (union schema). Callers persist the (tiny) result and
+    split it into the candidate and partial sides without rescanning."""
+    return df.select(col).mapInArrow(
+        _make_local_pass(col, c, cfg.to_json()), _FUSED_SCHEMA)
 
 
 def approx_topk(
@@ -151,6 +162,13 @@ def approx_topk(
     column or array<int> column, flattened)."""
     c = candidates_per_partition or max(4 * k, 64)
     cfg = cms_cfg or CMSConfig(eps=0.0005, delta=0.01)
+    if getattr(cfg, "conservative", False):
+        # same up-front refusal as agg._build_partials_fn: CU partials are
+        # not mergeable, so fail BEFORE the (possibly 100 TB) input scan
+        # instead of inside merge_partials after it
+        raise SketchConfigError(
+            "approx_topk: conservative-update CMS is not mergeable — use a "
+            "plain CMSConfig for the distributed partial/merge path")
     fused = _fused_scan(df, col, c, cfg).persist()
     try:
         cand = (

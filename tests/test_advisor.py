@@ -4,6 +4,7 @@ Property tests over a t_w sweep (the reference's skyline behavior)."""
 from __future__ import annotations
 
 import json
+import time
 
 import pytest
 
@@ -133,6 +134,57 @@ def test_calibration_best_per_point_merge(tmp_path, monkeypatch):
                                                          (1 << 24, 50.0)]
 
 
+def test_calibration_remeasurement_refreshes_timestamp(tmp_path, monkeypatch):
+    """A worse re-measurement keeps the best ns but must refresh the point's
+    ts: the age cap tracks 'last confirmed', not 'first measured'. Otherwise
+    a host whose timings regressed keeps re-saving a stale-ts best point that
+    load_calibration then drops — the curve vanishes despite recent runs."""
+    path = tmp_path / "calibration.json"
+    monkeypatch.setenv(advisor.CALIBRATION_ENV, str(path))
+    old_ts = time.time() - 8 * 86400  # beyond PROBE_TABLE_MAX_AGE_S
+    advisor.save_calibration([dict(**_geo64(), m_bits=1 << 20, ns=30.0,
+                                   ts=old_ts)])
+    assert advisor.load_calibration() is None  # stale on its own
+    advisor.save_calibration([dict(**_geo64(), m_bits=1 << 20, ns=45.0)])
+    assert advisor.load_calibration()[(64, 1, 1, 4)] == [(1 << 20, 30.0)]
+
+
+def test_calibration_malformed_point_does_not_drop_history(tmp_path,
+                                                           monkeypatch):
+    path = tmp_path / "calibration.json"
+    monkeypatch.setenv(advisor.CALIBRATION_ENV, str(path))
+    advisor.save_calibration([dict(**_geo64(), m_bits=1 << 20, ns=30.0),
+                              dict(**_geo64(), m_bits=1 << 24, ns=50.0)])
+    data = json.loads(path.read_text())
+    # a truncated hand-edited entry FIRST in the list must not abort the
+    # merge loop and silently discard the good points after it on rewrite
+    data["points"].insert(0, {"block_bits": 64})
+    path.write_text(json.dumps(data))
+    advisor.save_calibration([dict(**_geo64(), m_bits=1 << 26, ns=70.0)])
+    assert advisor.load_calibration()[(64, 1, 1, 4)] == [
+        (1 << 20, 30.0), (1 << 24, 50.0), (1 << 26, 70.0)]
+
+
+def test_host_fingerprint_never_core_count_only(tmp_path, monkeypatch):
+    fp = advisor.host_fingerprint()
+    assert fp.rsplit("/", 1)[0], f"core-count-only fingerprint: {fp!r}"
+    # /proc/cpuinfo readable but WITHOUT a "model name" line (aarch64-style):
+    # must fall back to platform info, not collapse to "/Nc" which would
+    # accept calibration tables from genuinely different hardware
+    import builtins
+    real_open = builtins.open
+
+    def fake_open(path, *a, **kw):
+        if str(path) == "/proc/cpuinfo":
+            return real_open(tmp_path / "cpuinfo", *a, **kw)
+        return real_open(path, *a, **kw)
+
+    (tmp_path / "cpuinfo").write_text("processor : 0\nBogoMIPS : 50.0\n")
+    monkeypatch.setattr(builtins, "open", fake_open)
+    fp2 = advisor.host_fingerprint()
+    assert fp2.rsplit("/", 1)[0], f"core-count-only fingerprint: {fp2!r}"
+
+
 def test_calibration_interpolation_and_fallback():
     curves = {(64, 1, 1, 4): [(1 << 20, 20.0), (1 << 24, 60.0)]}
     fn = advisor._calibration_cost_fn(curves, fallback=lambda cfg: 999.0)
@@ -199,3 +251,16 @@ def test_calibrate_sweep_smoke(tmp_path, monkeypatch):
     assert len(pts) >= 4 and all(0.5 < p["ns"] < 100_000 for p in pts)
     advisor.save_calibration(pts)
     assert advisor.resolve_probe_cost(None)[1] == "calibration-curve"
+    # the sweep's k menu must cover the advisor's full candidate menu, or
+    # skipped-k candidates get fitted-model prices mixed into a measured
+    # skyline (silently, under a 'calibration-curve' provenance)
+    cand_ks = {c.k for c in advisor._candidate_configs(1_000_000)}
+    assert cand_ks <= set(mod.K_MENU)
+    # corrupt spin-floor files degrade to the 0.0 sentinel, never abort a
+    # multi-minute sweep
+    monkeypatch.setattr(mod, "REPO", str(tmp_path))
+    bench_dir = tmp_path / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    for corrupt in ('{"spin_floor_ms": 0}', "[1, 2]", "not json"):
+        (bench_dir / "spin_floor.json").write_text(corrupt)
+        assert mod._epoch_factor() == 0.0

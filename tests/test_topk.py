@@ -36,3 +36,33 @@ def test_approx_topk_scalar_column(spark):
     assert len(got) == 3
     for v, est in got:
         assert abs(est - (1429 if v < 3 else 1428)) <= 10
+
+
+def test_approx_topk_refuses_cu_config_before_scan(spark):
+    """CU partials are not mergeable; the refusal must fire BEFORE the input
+    scan (same up-front policy as agg._build_partials_fn), not inside
+    merge_partials after a full pass over the data."""
+    from sketchlib.config import CMSConfig, SketchConfigError
+
+    df = spark.range(10).select(F.col("id").cast("int").alias("v"))
+    with pytest.raises(SketchConfigError, match="conservative"):
+        topk.approx_topk(df, "v", k=3,
+                         cms_cfg=CMSConfig(eps=0.01, delta=0.1,
+                                           conservative=True))
+
+
+def test_fused_pass_uint64_histogram_branch():
+    """Direct-Arrow callers can feed uint64 columns (Spark never does); the
+    bounded-domain histogram fast path must cast before np.bincount, which
+    refuses uint64 ('cannot cast to int64 by rule safe')."""
+    import pyarrow as pa
+    from sketchlib.config import CMSConfig
+
+    vals = [5, 5, 5, 2, 2, 9]
+    batch = pa.RecordBatch.from_pydict({"v": pa.array(vals, pa.uint64())})
+    lp = topk._make_local_pass("v", 4, CMSConfig(eps=0.01, delta=0.1).to_json())
+    out = list(lp(iter([batch])))
+    assert len(out) == 1
+    tbl = out[0].to_pydict()
+    cand = {v: c for v, c in zip(tbl["value"], tbl["cnt"]) if v is not None}
+    assert cand == {5: 3, 2: 2, 9: 1}
