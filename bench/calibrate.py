@@ -42,10 +42,11 @@ from sketchlib import advisor  # noqa: E402
 from sketchlib.config import BloomConfig  # noqa: E402
 
 BITS_PER_KEY = 16
-# the advisor's full candidate k menu (advisor._candidate_configs): a k the
-# sweep skips would be priced by the fitted model while its neighbors use
-# measurements — mixed cost scales that can flip the skyline argmin
-K_MENU = (2, 4, 6, 8, 12, 16)
+# the advisor's full candidate k menu — shared constant, so extending the
+# skyline's menu automatically extends the sweep (a k the sweep skips would
+# be priced by the fitted model while its neighbors use measurements: mixed
+# cost scales that can flip the skyline argmin)
+K_MENU = advisor.CANDIDATE_K_MENU
 
 
 def _epoch_factor() -> float:

@@ -140,6 +140,7 @@ def save_calibration(points: list[dict], path=None) -> Path:
                 try:
                     key = (int(pt["block_bits"]), int(pt["sectors"]),
                            int(pt["zones"]), int(pt["k"]), int(pt["m_bits"]))
+                    float(pt["ns"])  # the merge below compares on it
                 except (KeyError, TypeError, ValueError):
                     continue
                 merged[key] = pt
@@ -162,7 +163,12 @@ def save_calibration(points: list[dict], path=None) -> Path:
     body = {"host_fp": host_fingerprint(), "host": platform.node(),
             "saved_at": now,
             "points": [merged[k] for k in sorted(merged)]}
-    p.write_text(json.dumps(body, indent=1))
+    # atomic replace: a crash mid-write must not truncate the file — the next
+    # save's unreadable-file fallback would then silently restart the
+    # accumulated multi-epoch history from empty
+    tmp = p.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(body, indent=1))
+    os.replace(tmp, p)
     return p
 
 
@@ -182,18 +188,29 @@ def load_calibration(path=None, max_age_s: float | None = None) -> dict | None:
     age_cap = PROBE_TABLE_MAX_AGE_S if max_age_s is None else max_age_s
     now = time.time()
     curves: dict[tuple, list] = {}
+    stale_max: dict[tuple, int] = {}  # largest m dropped per geometry
     for pt in data.get("points", []):
         try:
             ts = float(pt.get("ts", data.get("saved_at", 0.0)))
-            if now - ts > age_cap:
-                continue
             geo = (int(pt["block_bits"]), int(pt["sectors"]), int(pt["zones"]),
                    int(pt["k"]))
-            curves.setdefault(geo, []).append((int(pt["m_bits"]), float(pt["ns"])))
+            m = int(pt["m_bits"])
+            if now - ts > age_cap:
+                stale_max[geo] = max(stale_max.get(geo, 0), m)
+                continue
+            curves.setdefault(geo, []).append((m, float(pt["ns"])))
         except (KeyError, TypeError, ValueError):
             continue
-    for geo in curves:
+    for geo in list(curves):
         curves[geo].sort()
+        # if the geometry's LARGEST measured size aged out, the curve no
+        # longer covers its upper range and the cost fn's above-range clamp
+        # would price DRAM-bound candidates at a cache-resident point (e.g.
+        # only --quick re-runs after the full sweep went stale) — drop the
+        # whole curve and fall back honestly rather than misprice under a
+        # trusted 'calibration-curve' provenance
+        if stale_max.get(geo, 0) > curves[geo][-1][0]:
+            del curves[geo]
     return curves or None
 
 
@@ -343,6 +360,13 @@ def measure_probe_ns(cfg: BloomConfig, n_keys: int = 100_000,
     return best * 1e9 / n_probes
 
 
+# the k values the skyline scans per geometry — bench/calibrate.py sweeps
+# EXACTLY this menu so every candidate is priced from a measurement in its
+# own size regime (a k missing from the sweep would silently get a
+# fitted-model price mixed into a measured skyline)
+CANDIDATE_K_MENU = (2, 4, 6, 8, 12, 16)
+
+
 def _candidate_configs(n: int, geometries=None, max_bits_per_key: int = 24):
     geometries = geometries or DEFAULT_GEOMETRIES
     m_lo = max(1 << 9, 1 << int(math.ceil(math.log2(max(n, 1) * 2))))
@@ -351,7 +375,7 @@ def _candidate_configs(n: int, geometries=None, max_bits_per_key: int = 24):
     while m <= m_hi:
         for g in geometries:
             s, z = g.get("sectors", 1), g.get("zones", 1)
-            for k in (2, 4, 6, 8, 12, 16):
+            for k in CANDIDATE_K_MENU:
                 if k % s or k % z:
                     continue
                 try:

@@ -76,6 +76,14 @@ def _make_local_pass(col: str, c: int, cfg_json: str):
                 continue
             if v.dtype.kind in "iu":
                 vmin, vmax = int(v.min()), int(v.max())
+                if vmax >= (1 << 63):
+                    # the whole candidate/CMS pipeline is int64-keyed; a
+                    # silent uint64->int64 wrap in the unique fallback below
+                    # would return negative keys matching nothing in the
+                    # caller's key space — refuse loudly instead
+                    raise ValueError(
+                        "approx_topk: uint64 values >= 2**63 do not fit the "
+                        "int64 key space; rehash/mask keys below 2**63 first")
                 if 0 <= vmin and vmax < (1 << 22):
                     if v.dtype == np.uint64:
                         # np.bincount refuses uint64 ("cannot cast to int64

@@ -159,10 +159,40 @@ def test_calibration_malformed_point_does_not_drop_history(tmp_path,
     # a truncated hand-edited entry FIRST in the list must not abort the
     # merge loop and silently discard the good points after it on rewrite
     data["points"].insert(0, {"block_bits": 64})
+    # ...and a point with valid identity but missing ns (the merge compares
+    # on ns — it must be skipped, not crash the whole save)
+    data["points"].insert(1, dict(**_geo64(), m_bits=1 << 22))
     path.write_text(json.dumps(data))
-    advisor.save_calibration([dict(**_geo64(), m_bits=1 << 26, ns=70.0)])
+    advisor.save_calibration([dict(**_geo64(), m_bits=1 << 26, ns=70.0),
+                              dict(**_geo64(), m_bits=1 << 22, ns=40.0)])
     assert advisor.load_calibration()[(64, 1, 1, 4)] == [
-        (1 << 20, 30.0), (1 << 24, 50.0), (1 << 26, 70.0)]
+        (1 << 20, 30.0), (1 << 22, 40.0), (1 << 24, 50.0), (1 << 26, 70.0)]
+
+
+def test_calibration_stale_tail_drops_curve(tmp_path, monkeypatch):
+    """If a geometry's LARGEST measured size ages out (e.g. only --quick
+    re-runs after the full sweep went stale), the above-range clamp would
+    price DRAM-bound candidates at a cache-resident point — the whole curve
+    must drop (honest fallback), not silently shrink."""
+    path = tmp_path / "calibration.json"
+    monkeypatch.setenv(advisor.CALIBRATION_ENV, str(path))
+    old_ts = time.time() - 8 * 86400
+    advisor.save_calibration([
+        dict(**_geo64(), m_bits=1 << 20, ns=20.0),          # fresh
+        dict(**_geo64(), m_bits=1 << 30, ns=200.0, ts=old_ts),  # stale tail
+        dict(block_bits=512, sectors=1, zones=1, k=4,
+             m_bits=1 << 20, ns=25.0),                      # other geo, fresh
+    ])
+    curves = advisor.load_calibration()
+    assert (64, 1, 1, 4) not in curves          # tail-stale -> dropped
+    assert (512, 1, 1, 4) in curves             # untouched geometry survives
+    # a stale point BELOW the fresh maximum only thins the curve
+    advisor.save_calibration([
+        dict(**_geo64(), m_bits=1 << 16, ns=18.0, ts=old_ts),
+        dict(**_geo64(), m_bits=1 << 30, ns=200.0),
+    ])
+    assert advisor.load_calibration()[(64, 1, 1, 4)] == [
+        (1 << 20, 20.0), (1 << 30, 200.0)]
 
 
 def test_host_fingerprint_never_core_count_only(tmp_path, monkeypatch):
@@ -241,8 +271,11 @@ def test_calibrate_sweep_smoke(tmp_path, monkeypatch):
     """bench/calibrate.py --quick end-to-end on tiny sizes: measures real
     kernel points, persists, and flips the advisor's cost source."""
     import importlib.util
+    import os
     spec = importlib.util.spec_from_file_location(
-        "calibrate", "bench/calibrate.py")
+        "calibrate",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "..", "bench", "calibrate.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     monkeypatch.setenv(advisor.CALIBRATION_ENV, str(tmp_path / "cal.json"))

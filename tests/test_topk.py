@@ -66,3 +66,16 @@ def test_fused_pass_uint64_histogram_branch():
     tbl = out[0].to_pydict()
     cand = {v: c for v, c in zip(tbl["value"], tbl["cnt"]) if v is not None}
     assert cand == {5: 3, 2: 2, 9: 1}
+
+
+def test_fused_pass_uint64_above_int63_refused():
+    """uint64 values >= 2**63 cannot fit the int64-keyed pipeline; the
+    unique fallback must refuse loudly instead of wrapping to negatives."""
+    import pyarrow as pa
+    from sketchlib.config import CMSConfig
+
+    batch = pa.RecordBatch.from_pydict(
+        {"v": pa.array([2**63, 7], pa.uint64())})
+    lp = topk._make_local_pass("v", 4, CMSConfig(eps=0.01, delta=0.1).to_json())
+    with pytest.raises(ValueError, match="2\\*\\*63"):
+        list(lp(iter([batch])))
