@@ -81,6 +81,11 @@ PARTIAL_SCHEMA = (
 )
 
 _GLOBAL = ""  # group label when group_by is None
+# label for NULL group values (SQL groupBy keeps a null group; the kernel
+# factorizes labels as strings, and np.unique on an object array mixing str
+# and None raises). The NUL prefix keeps it out of any realistic user label
+# space.
+NULL_GROUP = "\x00__null__"
 
 
 def salt_repartition(df: DataFrame, num_partitions: int, keys: list[str], salt: int = 0) -> DataFrame:
@@ -174,12 +179,30 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None, part_col: 
                 seg_labels = [(_GLOBAL, part_id)]
             else:
                 if group_by is not None:
-                    gcol = batch.column(group_by).to_numpy(zero_copy_only=False).astype(object)
+                    garr = batch.column(group_by)
+                    if garr.null_count and (
+                        pa.types.is_string(garr.type)
+                        or pa.types.is_large_string(garr.type)
+                    ):
+                        # SQL keeps a NULL group; without this fill the
+                        # object array mixes str and None and np.unique
+                        # raises TypeError on comparison (numeric nulls
+                        # become NaN and label as "nan" below)
+                        import pyarrow.compute as pc
+                        garr = pc.fill_null(garr, NULL_GROUP)
+                    gcol = garr.to_numpy(zero_copy_only=False).astype(object)
                     guniq, ginv = np.unique(gcol, return_inverse=True)
                 else:
                     guniq, ginv = np.array([_GLOBAL], dtype=object), np.zeros(n, np.int64)
                 if part_col is not None:
-                    pcol = batch.column(part_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                    parr = batch.column(part_col)
+                    if parr.null_count:
+                        # part_col is library-controlled lineage (file index /
+                        # partition id); a null would silently become garbage
+                        # through the NaN->int64 cast below
+                        raise SketchConfigError(
+                            f"part_col '{part_col}' contains nulls")
+                    pcol = parr.to_numpy(zero_copy_only=False).astype(np.int64)
                     puniq, pinv = np.unique(pcol, return_inverse=True)
                 else:
                     puniq, pinv = np.array([part_id], dtype=np.int64), np.zeros(n, np.int64)
@@ -245,7 +268,11 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None, part_col: 
                         if 0 <= vmin and vmax < (1 << 22):
                             # bounded domain (token ids <= vocab): O(n) histogram
                             # beats the O(n log n) sort, stays cache-resident
-                            hist = np.bincount(values, minlength=0)
+                            # (np.bincount refuses uint64 — cast is exact here)
+                            hist = np.bincount(
+                                values.astype(np.int64)
+                                if values.dtype == np.uint64 else values,
+                                minlength=0)
                             u_all = np.flatnonzero(hist)
                             cnt_all = hist[u_all]
                             u_all = u_all.astype(values.dtype, copy=False)
@@ -268,7 +295,11 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None, part_col: 
                             # (segment, value) key — O(n + S*vocab) and no
                             # per-segment vocab-sized allocations
                             dom = vmax + 1
-                            hist = np.bincount(val_seg * dom + values, minlength=S * dom)
+                            # int64 * uint64 would promote to float64 and
+                            # np.bincount rejects it — cast is exact (bounded)
+                            v64 = (values.astype(np.int64)
+                                   if values.dtype == np.uint64 else values)
+                            hist = np.bincount(val_seg * dom + v64, minlength=S * dom)
                             nz = np.flatnonzero(hist)
                             u_all = (nz % dom).astype(values.dtype)
                             u_seg = nz // dom

@@ -17,9 +17,19 @@ def list_to_flat(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     if not (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
         raise TypeError(f"expected list array, got {arr.type}")
     flat = arr.flatten()  # slice-aware
-    values = flat.to_numpy(zero_copy_only=False)
     offsets = arr.offsets.to_numpy(zero_copy_only=False)
     starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+    if flat.null_count:
+        # null ELEMENTS inside lists: to_numpy would promote the whole batch
+        # to float64 with NaNs — garbage keys once a builder casts to int.
+        # Drop them and remap the per-row starts to the compacted coordinates
+        # (cumsum of the validity mask; exact for empty rows too).
+        valid = flat.is_valid().to_numpy(zero_copy_only=False)
+        values = flat.drop_null().to_numpy(zero_copy_only=False)
+        cum = np.concatenate(([0], np.cumsum(valid, dtype=np.int64)))
+        starts = cum[starts]
+    else:
+        values = flat.to_numpy(zero_copy_only=False)
     return values, starts
 
 

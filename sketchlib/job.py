@@ -203,10 +203,14 @@ def finalize(spark: SparkSession, job: JobSpec, checkpoint_dir: str) -> DataFram
     # determinism, so one-row-per-key makes the merge exact no matter how
     # many times a partial landed.
     partials = partials.dropDuplicates(["sketch", "group", "part"])
-    levels = 1
-    while 64**levels < job.num_partitions:
-        levels += 1
-    return agg.merge_partials(partials, fanout=64, levels=levels)
+    # size the tree exactly like fresh builds do (merge_levels is the single
+    # source of truth; a hand-inlined copy here would silently diverge from
+    # it and break the resume-identical-to-fresh-run guarantee), with fanout
+    # auto-sized from the specs' payload bytes like run_files
+    fanout = agg._auto_fanout(list(job.specs))
+    return agg.merge_partials(
+        partials, fanout=fanout,
+        levels=agg.merge_levels(fanout, job.num_partitions))
 
 
 def lineage(spark: SparkSession, checkpoint_dir: str) -> DataFrame:

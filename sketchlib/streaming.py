@@ -33,10 +33,56 @@ WINDOW_COL = "_sk_window"
 
 
 def _with_window(df: DataFrame, ts_col: str, window: str) -> DataFrame:
+    """Label each row with its event-time window start, rendered in UTC.
+
+    Rendering must NOT depend on ``spark.sql.session.timeZone``: a writer and
+    a later backfill/reader with different session zones would otherwise
+    split one event window into two labels (or collide two windows). The
+    ``to_utc_timestamp(ts, current_timezone())`` idiom makes ``date_format``
+    emit the UTC wall time whatever the session zone is.
+
+    Rows with a null event time are dropped — the engine's own windowed
+    aggregation does the same (a null timestamp belongs to no window);
+    without the filter they would silently mislabel as bare group labels
+    through the null-skipping ``concat_ws`` in the sink."""
     w = F.window(F.col(ts_col), window)
-    return df.withColumn(
-        WINDOW_COL, F.date_format(w["start"], "yyyy-MM-dd HH:mm:ss")
+    return df.where(F.col(ts_col).isNotNull()).withColumn(
+        WINDOW_COL,
+        F.date_format(F.to_utc_timestamp(w["start"], F.current_timezone()),
+                      "yyyy-MM-dd HH:mm:ss"),
     )
+
+
+def _series_values(vals, np, pd):
+    """Null-safe flatten of a pandas value Series for the stateful operators:
+    null rows are dropped, per-row arrays are concatenated (detected on the
+    first non-null value — the column type is fixed Spark-side), and null
+    ELEMENTS inside arrays (object dtype / NaN floats) are scrubbed before
+    the builder casts to int."""
+    vals = vals.dropna()
+    if len(vals) == 0:
+        return np.empty(0, np.int64)
+    first = vals.iloc[0]
+    if hasattr(first, "__len__") and not isinstance(first, (str, bytes)):
+        flat = np.concatenate([np.asarray(v) for v in vals])
+    else:
+        flat = vals.to_numpy()
+    if flat.dtype == object:
+        flat = flat[pd.notna(flat)].astype(np.int64)
+    elif flat.dtype.kind == "f" and np.isnan(flat).any():
+        flat = flat[~np.isnan(flat)]
+    return flat
+
+
+def _epoch_ms(ts, tz: str) -> int:
+    """Epoch milliseconds of a window-boundary pandas Timestamp. Spark hands
+    the key to pandas as a tz-NAIVE session-local wall time; ``.timestamp()``
+    on a naive value assumes UTC, shifting timers by the session zone's UTC
+    offset (a timeout below the watermark kills the query). Localize in the
+    session zone captured at operator-build time first."""
+    if ts.tzinfo is None:
+        ts = ts.tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
+    return int(ts.timestamp() * 1000)
 
 
 def sketch_sink(
@@ -81,19 +127,38 @@ def read_windowed_sketches(spark: SparkSession, out_dir: str) -> DataFrame:
     """Merge the streamed partials into one row per (sketch, window[, group]).
     The ``group`` column carries the window label written by the sink.
 
-    Defense-in-depth against duplicate partials (e.g. a legacy append-mode
-    layout, or a sink crash between partition commits): partials for the same
-    (sketch, group, batch, part) are byte-identical by determinism (same
-    source offsets => same data), so keeping one row per key is exact —
-    never double-counted."""
+    Defense-in-depth against duplicate partials (e.g. a sink crash between
+    partition commits): partials for the same (sketch, group, batch, part)
+    are byte-identical by determinism (same source offsets => same data), so
+    keeping one row per key is exact — never double-counted."""
     partials = spark.read.parquet(os.path.join(out_dir, "partials"))
     if "batch" in partials.columns:
         partials = partials.dropDuplicates(["sketch", "group", "batch", "part"]).drop("batch")
     else:
-        # legacy append-mode layout (pre-batch-lineage sink): partials were
-        # keyed by part only; same-key rows are byte-identical by determinism
-        partials = partials.dropDuplicates(["sketch", "group", "part"])
-    return agg.merge_partials(partials, fanout=64, levels=2)
+        # legacy append-mode layout (pre-batch-lineage sink, commit
+        # 802596a): that sink OVERWROTE ``part`` with the micro-batch id, so
+        # rows sharing (sketch, group, part) are usually DIFFERENT input
+        # partitions of one batch — deduping on the key columns would
+        # silently drop all but one partition's data. Replays, the thing
+        # dedup exists for, re-deliver byte-identical rows; so dedup on full
+        # content (minus the measured t_ms) instead: exact for replays,
+        # keeps distinct partitions. Residual edge: two same-batch
+        # partitions with identical content collapse — indistinguishable
+        # from a replay in this layout.
+        partials = partials.dropDuplicates(
+            [c for c in partials.columns if c != "t_ms"])
+    # size the merge tree from the actual payloads (the batch paths size it
+    # from the specs, which the read side does not have): a hardcoded
+    # fanout=64 would pull 64 blobs into one task regardless of blob size —
+    # e.g. 8 GB of 128 MB Bloom partials — and force a pointless extra
+    # shuffle stage for the common KB-blob case. The partials table is tiny
+    # (P blobs per window) so the two sizing aggregates are cheap.
+    stats = partials.agg(
+        F.max(F.length("blob")).alias("mx"), F.count("*").alias("n")).collect()[0]
+    max_blob, n_rows = int(stats["mx"] or 1), max(int(stats["n"]), 1)
+    fanout = int(max(2, min(1024, (256 << 20) // max(max_blob, 1))))
+    return agg.merge_partials(
+        partials, fanout=fanout, levels=agg.merge_levels(fanout, n_rows))
 
 
 def stateful_windowed_sketch(
@@ -120,6 +185,10 @@ def stateful_windowed_sketch(
     cfg_json = spec.cfg.to_json()
     sketch_kind = spec.sketch
     col = spec.col
+    # session zone captured at operator-build time for timer epoch math (the
+    # key arrives tz-naive in this zone — see _epoch_ms)
+    session_tz = stream_df.sparkSession.conf.get(
+        "spark.sql.session.timeZone") or "UTC"
 
     def fn(key, pdf_iter, state: GroupState):
         from sketchlib.agg import MODULES
@@ -138,15 +207,9 @@ def stateful_windowed_sketch(
         builder = module.new_builder(cfg)
         rows = 0
         for pdf in pdf_iter:
-            vals = pdf[col]
-            if len(vals) == 0:
-                continue
-            first = vals.iloc[0]
-            if hasattr(first, "__len__") and not isinstance(first, (str, bytes)):
-                flat = np.concatenate([np.asarray(v) for v in vals])
-            else:
-                flat = vals.to_numpy()
-            builder.update(flat)
+            flat = _series_values(pdf[col], np, pd)
+            if flat.size:
+                builder.update(flat)
             rows += len(pdf)
         new_blob = blobmod.pack(sketch_kind, cfg, builder.to_payload())
         if state.exists:
@@ -155,10 +218,11 @@ def stateful_windowed_sketch(
             rows += old_rows
         state.update((new_blob, rows))
         # emit once the watermark passes the window end
-        state.setTimeoutTimestamp(int(key[1].timestamp() * 1000))
+        state.setTimeoutTimestamp(_epoch_ms(key[1], session_tz))
 
     keyed = (
-        stream_df.withWatermark(ts_col, watermark)
+        stream_df.where(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
         .withColumn("_win", F.window(F.col(ts_col), window))
         .withColumn("_ws", F.col("_win.start"))
         .withColumn("_we", F.col("_win.end"))
@@ -205,6 +269,8 @@ def tws_windowed_sketch(
     cfg_json = spec.cfg.to_json()
     sketch_kind = spec.sketch
     col = spec.col
+    session_tz = stream_df.sparkSession.conf.get(
+        "spark.sql.session.timeZone") or "UTC"
 
     class SketchProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -223,15 +289,9 @@ def tws_windowed_sketch(
             builder = module.new_builder(cfg)
             n = 0
             for pdf in rows:
-                vals = pdf[col]
-                if len(vals) == 0:
-                    continue
-                first = vals.iloc[0]
-                if hasattr(first, "__len__") and not isinstance(first, (str, bytes)):
-                    flat = np.concatenate([np.asarray(v) for v in vals])
-                else:
-                    flat = vals.to_numpy()
-                builder.update(flat)
+                flat = _series_values(pdf[col], np, pd)
+                if flat.size:
+                    builder.update(flat)
                 n += len(pdf)
             new_blob = blobmod.pack(sketch_kind, cfg, builder.to_payload())
             cur = self._state.get()
@@ -241,7 +301,7 @@ def tws_windowed_sketch(
             self._state.update((new_blob, n))
             # emit when the watermark passes the window end (idempotent
             # re-registration across micro-batches)
-            self._handle.registerTimer(int(key[1].timestamp() * 1000))
+            self._handle.registerTimer(_epoch_ms(key[1], session_tz))
             return iter(())
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
@@ -257,7 +317,8 @@ def tws_windowed_sketch(
             pass
 
     keyed = (
-        stream_df.withWatermark(ts_col, watermark)
+        stream_df.where(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
         .withColumn("_win", F.window(F.col(ts_col), window))
         .withColumn("_ws", F.col("_win.start"))
         .withColumn("_we", F.col("_win.end"))

@@ -279,3 +279,84 @@ def test_auto_fanout_sizing():
                                                 words_per_block=8, sectors=8), "tokens")]
     assert agg._auto_fanout(small) == 4096  # KB blobs: one-level merge
     assert agg._auto_fanout(huge) == 4      # 128 MB blobs: real tree (min clamp)
+
+
+def test_null_group_values_sketch_under_null_label(spark):
+    """SQL groupBy keeps a NULL group; the kernel must too (previously
+    np.unique over an object array mixing str and None raised TypeError and
+    killed every task with a null group in its batch)."""
+    from sketchlib.config import CMSConfig
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (2, None)], "v long, g string")
+    specs = [agg.SketchSpec("cms", CMSConfig(eps=0.01, delta=0.01), "v")]
+    out = agg.collect_blobs(agg.build_sketches(df, specs, group_by="g"))
+    assert set(out) == {("cms", "a"), ("cms", agg.NULL_GROUP)}
+    est = cms.query_blob(np.array([2]), out[("cms", agg.NULL_GROUP)])
+    assert int(est[0]) == 2
+
+
+def test_null_part_col_raises_typed_error(spark):
+    from sketchlib.config import CMSConfig, SketchConfigError
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, None)], "v long, p long")
+    specs = [agg.SketchSpec("cms", CMSConfig(eps=0.01, delta=0.01), "v")]
+    with pytest.raises(Exception) as ei:
+        agg.build_partials(df, specs, part_col="p").collect()
+    assert "part_col" in str(ei.value)
+
+
+def test_null_list_elements_dropped(spark):
+    """Null elements inside array columns must be dropped, not promoted to
+    NaN float64 and fed to builders as garbage keys."""
+    from sketchlib.config import HLLConfig
+
+    df_null = spark.createDataFrame(
+        [([1, None, 2],), ([None],), ([3, 4],), ([],)],
+        "toks array<long>")
+    df_clean = spark.createDataFrame(
+        [([1, 2],), ([3, 4],)], "toks array<long>")
+    specs = [agg.SketchSpec("hll", HLLConfig(p=12), "toks")]
+    got = agg.collect_blobs(agg.build_sketches(df_null.coalesce(1), specs))
+    want = agg.collect_blobs(agg.build_sketches(df_clean.coalesce(1), specs))
+    assert got[("hll", "")] == want[("hll", "")]
+
+
+def test_list_to_flat_null_elements_unit():
+    import pyarrow as pa
+
+    from sketchlib import arrowutil
+
+    arr = pa.array([[1, None, 2], [], [None], [3]], pa.list_(pa.int64()))
+    values, starts = arrowutil.list_to_flat(arr)
+    assert values.dtype.kind == "i"
+    assert values.tolist() == [1, 2, 3]
+    assert starts.tolist() == [0, 2, 2, 2]
+
+
+def test_uint64_parquet_column_fast_path(spark, tmp_path):
+    """A parquet UINT64 column through the pyarrow file fast path must build
+    (np.bincount refuses uint64; int64*uint64 promotes to float64)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketchlib.config import CMSConfig
+
+    path = str(tmp_path / "u64")
+    os.makedirs(path, exist_ok=True)
+    tbl = pa.table({
+        "v": pa.array([1, 2, 2, 3, 3, 3] * 100, pa.uint64()),
+        "g": pa.array((["x"] * 3 + ["y"] * 3) * 100),
+    })
+    pq.write_table(tbl, os.path.join(path, "part-0.parquet"))
+    specs = [agg.SketchSpec("cms", CMSConfig(eps=0.01, delta=0.01), "v")]
+    # global (ungrouped) histogram path
+    out = agg.collect_blobs(agg.build_sketches_files(spark, path, specs))
+    assert int(cms.query_blob(np.array([3]), out[("cms", "")])[0]) == 300
+    # grouped packed-histogram path
+    outg = agg.collect_blobs(
+        agg.build_sketches_files(spark, path, specs, group_by="g"))
+    assert int(cms.query_blob(np.array([1]), outg[("cms", "x")])[0]) == 100
