@@ -128,12 +128,16 @@ def extract_metadata(df: DataFrame, blob_col: str = "blob", id_col: str = "media
 def image_features(df: DataFrame, blob_col: str = "blob", id_col: str = "media_id",
                    thumb: int = 4) -> DataFrame:
     """Decode → stats + thumbnail, batched per Arrow chunk (real plumbing;
-    fake decode)."""
+    fake decode). NULL blob rows yield null feature rows (same contract as
+    ``extract_metadata``) instead of ``bytes(None)`` aborting the task."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    out.append((mid, None, None, None))
+                    continue
                 img = CODEC.decode_image(bytes(blob))
                 small = CODEC.resize_image(img, thumb, thumb)
                 out.append((

@@ -122,7 +122,19 @@ def bloom_prune_join(
     built over ``right``'s keys before the actual join — the classic use the
     reference library was built for inside MPP engines ([SIGMOD19] §1).
     Rows surviving the probe are exact-joined, so the result is exact (the
-    filter only prunes; FPs are removed by the join itself)."""
+    filter only prunes; FPs are removed by the join itself).
+
+    Only join types that drop unmatched LEFT rows anyway are accepted
+    (inner / left-semi / right-outer): pruning the left side of a
+    left/full-outer join would lose rows that should be null-extended, and
+    pruning before a left-anti join would invert it (only Bloom FALSE
+    POSITIVES would survive). Those are rejected, not silently wrong."""
+    normalized = how.lower().replace("_", "")
+    if normalized not in ("inner", "semi", "leftsemi", "right", "rightouter"):
+        raise SketchConfigError(
+            f"bloom_prune_join: how={how!r} is unsound with a left-side Bloom "
+            "pre-filter (unmatched left rows are dropped before the join); "
+            "use inner/left_semi/right, or join without pruning")
     pruned = with_bloom_membership(left, right_blob, left_key, "_bf_member")
     pruned = pruned.filter("_bf_member").drop("_bf_member")
     if right_key is None:

@@ -24,6 +24,41 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 
+def _valid_matrix(arr: pa.Array, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Row-aligned ``(n_rows x dim)`` float64 matrix + validity mask for an
+    embedding list column.
+
+    NEVER ``arr.flatten().reshape(-1, dim)``: ``ListArray.flatten()`` silently
+    drops null rows, so every row after the first null is paired with the NEXT
+    row's vector — wrong scores/buckets with no error (confirmed live).
+    Instead gather through the offsets buffer, which keeps null slots.
+    Rows that are null, wrong-length, or contain non-finite values come back
+    with ``valid=False`` and an all-zero row; callers decide the semantics
+    (skip for top-k candidates, null output column for bucket/cluster)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    mat = np.zeros((n, dim), dtype=np.float64)
+    if n == 0:
+        return mat, np.zeros(0, dtype=bool)
+    valid = (np.ones(n, dtype=bool) if arr.null_count == 0
+             else arr.is_valid().to_numpy(zero_copy_only=False).astype(bool))
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = offs[1:] - offs[:-1]
+    valid &= lens == dim
+    if valid.any():
+        # .values (raw child), not .flatten(): flatten compacts null slots
+        # away and would shift the gather coordinates
+        child = arr.values
+        vals = child.to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = offs[:-1][valid][:, None] + np.arange(dim, dtype=np.int64)[None, :]
+        rows = vals[idx]
+        finite = np.isfinite(rows).all(axis=1)
+        mat[np.flatnonzero(valid)[finite]] = rows[finite]
+        valid[np.flatnonzero(valid)[~finite]] = False
+    return mat, valid
+
+
 def _cos_expr(vec_col: str, q: list[float]) -> "F.Column":
     qarr = F.array(*[F.lit(float(x)) for x in q])
     dot = F.aggregate(
@@ -60,14 +95,12 @@ def cosine_topk_arrow(df: DataFrame, query: list[float], k: int = 10,
         best_ids: list = []
         best_scores: list = []
         for batch in batches:
-            arr = batch.column(vec_col)
-            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-            dim = q.size
-            mat = flat.reshape(-1, dim)
+            mat, valid = _valid_matrix(batch.column(vec_col), q.size)
             scores = mat @ q / (np.linalg.norm(mat, axis=1) * qn + 1e-30)
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            best_ids.append(ids)
-            best_scores.append(scores)
+            # null / malformed vectors cannot score — skip, don't misalign
+            best_ids.append(ids[valid])
+            best_scores.append(scores[valid])
             # keep only the running top-k to bound memory
             all_ids = np.concatenate(best_ids)
             all_sc = np.concatenate(best_scores)
@@ -106,11 +139,12 @@ def with_lsh_bucket(df: DataFrame, dim: int, n_bits: int = 16, seed: int = 4242,
         planes = _planes(dim, n_bits, seed)
         weights = (1 << np.arange(n_bits, dtype=np.int64))
         for batch in batches:
-            flat = batch.column(vec_col).flatten().to_numpy(zero_copy_only=False)
-            mat = flat.astype(np.float64).reshape(-1, dim)
+            mat, valid = _valid_matrix(batch.column(vec_col), dim)
             bits = (mat @ planes) > 0
             bucket = bits @ weights
-            yield batch.append_column("bucket", pa.array(bucket.astype(np.int64)))
+            # null / malformed vectors get a NULL bucket (never a bogus one)
+            yield batch.append_column(
+                "bucket", pa.array(bucket.astype(np.int64), mask=~valid))
 
     return df.mapInArrow(fn, f"{fields}, bucket bigint")
 
@@ -156,12 +190,13 @@ def embedding_near_duplicates(
         ]
         weights = 1 << np.arange(bits_per_table, dtype=np.int64)
         for batch in batches:
-            flat = batch.column(vec_col).flatten().to_numpy(zero_copy_only=False)
-            mat = flat.astype(np.float64).reshape(-1, dim)
+            mat, valid = _valid_matrix(batch.column(vec_col), dim)
             out = batch
             for t in range(n_tables):
                 sig = (((mat @ planes[t]) > 0) @ weights).astype(np.int64)
-                out = out.append_column(f"_h{t}", pa.array(sig))
+                # null signature for null/malformed vectors: Spark's
+                # equi-join never matches null keys, so they can't pair
+                out = out.append_column(f"_h{t}", pa.array(sig, mask=~valid))
             yield out
 
     sig_cols = ", ".join(f"_h{t} bigint" for t in range(n_tables))
@@ -223,7 +258,11 @@ def fit_ivf_centroids(df: DataFrame, dim: int, n_clusters: int = 16,
     ordered sample is a TakeOrdered (per-partition top-k + driver merge, no
     global sort); the expensive part — assignment — happens once, distributed,
     in ``with_ivf_cluster``."""
-    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    rows = (df.select(id_col, vec_col)
+            .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+            .orderBy(id_col).limit(sample).collect())
+    if not rows:
+        raise ValueError("fit_ivf_centroids: no valid vectors to sample")
     mat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
     mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-30)
     rng = np.random.default_rng(seed)
@@ -248,11 +287,10 @@ def with_ivf_cluster(df: DataFrame, centroids: np.ndarray,
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            flat = batch.column(vec_col).flatten().to_numpy(zero_copy_only=False)
-            mat = flat.astype(np.float64).reshape(-1, cent.shape[1])
+            mat, valid = _valid_matrix(batch.column(vec_col), cent.shape[1])
             mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-30)
             assign = (mat @ cent.T).argmax(axis=1).astype(np.int32)
-            yield batch.append_column("cluster", pa.array(assign))
+            yield batch.append_column("cluster", pa.array(assign, mask=~valid))
 
     return df.mapInArrow(fn, f"{fields}, cluster int")
 

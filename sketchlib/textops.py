@@ -295,10 +295,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            texts = batch.column(text_col).to_pandas()
             ids = batch.column(id_col)
-            wh, starts = _word_hashes(texts)
-            n_docs = len(texts)
+            # Arrow array straight through (same as minhash_signatures); the
+            # former to_pandas() materialized every string as a Python
+            # object per batch just to convert back
+            wh, starts = _word_hashes(batch.column(text_col))
+            n_docs = batch.num_rows
             starts = starts.astype(np.int64)
             seg_len = np.diff(np.r_[starts, wh.size])
             sh = np.zeros(n_docs, dtype=np.uint64)
@@ -331,10 +333,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def simhash_near_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, max_bucket: int = 200,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: 4x16-bit bands (pigeonhole: any pair within
-    Hamming distance 3 shares at least one exact band) → verify popcount."""
+    Hamming distance 3 shares at least one exact band) → verify popcount.
+
+    Degenerate buckets are capped exactly like ``lsh_candidate_pairs``: a
+    duplicate-heavy corpus (the dedup workload!) puts every identical doc in
+    all 4 of the same (band, v) buckets, and an uncapped self-join goes
+    quadratic on those single keys. Only oversized-bucket KEYS are broadcast;
+    members are thinned by a deterministic hash sample."""
     sh = simhash(df, text_col, id_col).cache()
     bands = [
         F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"_s{b}")
@@ -346,6 +355,19 @@ def simhash_near_duplicates(
         F.explode(F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"_s{b}").alias("v"))
                             for b in range(4)])).alias("bv"),
     ).select(id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    oversized = (
+        stacked.groupBy("band", "v").agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+    )
+    stacked = (
+        stacked.join(F.broadcast(oversized), ["band", "v"], "left_outer")
+        .filter(
+            F.col("_n").isNull()
+            | (F.pmod(F.xxhash64(id_col, "band", "v"),
+                      F.ceil(F.col("_n") / max_bucket).cast("long")) == 0)
+        )
+        .drop("_n")
+    )
     a = stacked.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "band", "v")
     b = stacked.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "band", "v")
     pairs = (
@@ -366,16 +388,22 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
     """Exact shingle-set Jaccard for given (a, b) pairs — the verifier behind
     the MinHash estimate. Uses Spark array ops (JVM-side)."""
+    # try_element_at, not element_at: under Spark 4's default ANSI mode an
+    # out-of-bounds element_at aborts the job, and docs shorter than
+    # shingle_n index past the words array (their single gram is the whole
+    # doc — concat_ws skips the nulls try_element_at returns). The split is
+    # also hoisted so the plan computes it once, not shingle_n+1 times.
+    words = F.split(F.col(text_col), r"\s+")
     grams = df.select(
         F.col(id_col),
         F.array_distinct(
             F.transform(
                 F.sequence(
                     F.lit(0),
-                    F.greatest(F.size(F.split(F.col(text_col), r"\s+")) - shingle_n, F.lit(0)),
+                    F.greatest(F.size(words) - shingle_n, F.lit(0)),
                 ),
                 lambda i: F.concat_ws(
-                    " ", *[F.element_at(F.split(F.col(text_col), r"\s+"), i + j + 1) for j in range(shingle_n)]
+                    " ", *[F.try_element_at(words, i + j + 1) for j in range(shingle_n)]
                 ),
             )
         ).alias("grams"),
@@ -540,7 +568,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + BPE-ish subword estimate (split on whitespace AND
-    punctuation boundaries; ~chars/4 fallback floor)."""
+    punctuation/camelCase boundaries). Both are split counts, nothing more:
+    a long single word still counts as 1 BPE-ish token (no chars/4 floor —
+    callers sizing strict token budgets should combine with n_chars)."""
     ws = F.size(F.split(F.col(text_col), r"\s+"))
     bpe_ish = F.size(F.split(F.col(text_col), r"\s+|(?<=[a-z])(?=[A-Z])|(?=[^\w\s])"))
     return df.withColumn("n_tokens_ws", ws).withColumn("n_tokens_bpe_ish", bpe_ish)

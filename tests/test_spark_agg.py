@@ -11,7 +11,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from sketchlib import agg, bloom, cms, datagen, fpr, hll, kll, probe, tdigest
-from sketchlib.config import BloomConfig, CMSConfig, HLLConfig, KLLConfig, TDigestConfig
+from sketchlib.config import (BloomConfig, CMSConfig, HLLConfig, KLLConfig,
+                              SketchConfigError, TDigestConfig)
 
 N_DOCS = 6_000
 
@@ -169,6 +170,19 @@ def test_bloom_prune_join_exactness(spark):
                                  right_key="rk").count()
     want = left.join(right.withColumnRenamed("k", "rk"), F.col("k") == F.col("rk")).count()
     assert got == want
+    # join types where the left-side pre-filter would change the answer are
+    # rejected: left outer would lose null-extended rows, left_anti would
+    # keep only Bloom false positives
+    for bad_how in ("left", "left_outer", "full", "left_anti", "leftanti"):
+        with pytest.raises(SketchConfigError, match="unsound"):
+            probe.bloom_prune_join(left, right.withColumnRenamed("k", "rk"),
+                                   "k", blob, how=bad_how, right_key="rk")
+    # right outer drops unmatched left rows anyway -> sound and exact
+    got_r = probe.bloom_prune_join(left, right.withColumnRenamed("k", "rk"),
+                                   "k", blob, how="right", right_key="rk").count()
+    want_r = left.join(right.withColumnRenamed("k", "rk"),
+                       F.col("k") == F.col("rk"), "right").count()
+    assert got_r == want_r
 
 
 def test_array_column_probe_all_semantics(spark, corpus, blobs):

@@ -73,6 +73,37 @@ def test_ngram_jaccard_exact_values(spark, docs):
     assert got[(0, 102)] < 0.2
 
 
+def test_ngram_jaccard_short_docs_ansi_safe(spark):
+    """Docs shorter than shingle_n must not abort the job under Spark 4's
+    default ANSI mode (element_at past the words array used to raise
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT); their single gram is the whole doc."""
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="two words"),
+        Row(doc_id=1, text="two words"),
+        Row(doc_id=2, text="a completely different pair"),
+    ])
+    pairs = spark.createDataFrame([Row(a=0, b=1), Row(a=0, b=2)])
+    got = {(r["a"], r["b"]): r["jaccard"] for r in
+           textops.ngram_jaccard_pairs(docs, pairs, shingle_n=3).collect()}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == 0.0
+
+
+def test_simhash_bucket_cap_on_duplicate_heavy_corpus(spark):
+    """A corpus dominated by one identical doc must not go quadratic on its
+    band buckets: with max_bucket tiny, the thinned self-join still finds
+    duplicate pairs among the survivors and never errors."""
+    rows = [Row(doc_id=i, text="the same boilerplate page body repeated")
+            for i in range(300)]
+    rows.append(Row(doc_id=300, text="one genuinely different document here"))
+    df = spark.createDataFrame(rows)
+    pairs = textops.simhash_near_duplicates(df, max_bucket=20).collect()
+    assert pairs, "thinned buckets must still emit duplicate pairs"
+    assert all(r["hamming"] == 0 for r in pairs if r["b"] != 300)
+    ids = {r["a"] for r in pairs} | {r["b"] for r in pairs}
+    assert 300 not in ids
+
+
 def test_langid_marker_sentences(spark):
     df = spark.createDataFrame([
         Row(doc_id=1, text="the cat and the dog of a house in the garden is big"),
@@ -283,6 +314,46 @@ def test_cosine_topk_sql_vs_arrow_vs_numpy(vectors):
         assert abs(r_sql["cosine"] - r_arr["cosine"]) < 1e-9
 
 
+def test_null_embeddings_never_misalign_rows(spark):
+    """ListArray.flatten() drops null rows — every vector kernel used to pair
+    rows after a null with the NEXT row's vector (confirmed live: id 3
+    inherited id 4's score). Null/malformed vectors must be skipped (top-k)
+    or get null bucket/cluster/signature — and all other rows keep THEIR OWN
+    vector."""
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0]),
+        Row(vec_id=2, embedding=None),
+        Row(vec_id=3, embedding=[0.0, 1.0]),
+        Row(vec_id=4, embedding=[1.0, 1.0]),
+        Row(vec_id=5, embedding=[1.0, 0.0, 0.0]),  # wrong dim: also invalid
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)
+    got = simsearch.cosine_topk_arrow(df, [1.0, 0.0], k=2).collect()
+    assert [(r["vec_id"], round(r["cosine"], 4)) for r in got] == [
+        (1, 1.0), (4, round(1 / np.sqrt(2), 4))]
+    # orthogonal id 3 must keep ITS vector: cosine 0, not id 4's 0.707
+    all3 = {r["vec_id"]: r["cosine"] for r in
+            simsearch.cosine_topk_arrow(df, [1.0, 0.0], k=10).collect()}
+    assert set(all3) == {1, 3, 4}
+    assert abs(all3[3]) < 1e-12
+    # bucket/cluster columns: null for invalid rows, aligned for the rest
+    b = {r["vec_id"]: r["bucket"] for r in
+         simsearch.with_lsh_bucket(df, dim=2, n_bits=8).collect()}
+    assert b[2] is None and b[5] is None
+    same = {r["vec_id"]: r["bucket"] for r in simsearch.with_lsh_bucket(
+        df.filter(F.col("vec_id").isin(1, 3, 4)), dim=2, n_bits=8).collect()}
+    assert {k: b[k] for k in (1, 3, 4)} == same
+    cent = np.asarray([[1.0, 0.0], [0.0, 1.0]])
+    c = {r["vec_id"]: r["cluster"] for r in
+         simsearch.with_ivf_cluster(df, cent).collect()}
+    assert c == {1: 0, 2: None, 3: 1, 4: 0, 5: None}
+    # near-dup pairs: nulls can't pair; 1-4 genuinely similar pair survives
+    dups = simsearch.embedding_near_duplicates(
+        df, dim=2, threshold=0.7, n_tables=8, bits_per_table=4).collect()
+    ids = {i for r in dups for i in (r["a"], r["b"])}
+    assert 2 not in ids and 5 not in ids
+
+
 def test_lsh_ann_finds_self_and_neardup(vectors):
     df, mat = vectors
     q = [float(x) for x in mat[0]]
@@ -347,6 +418,22 @@ def test_multimodal_metadata_null_blobs(spark):
     bad = spark.createDataFrame([(999, bytearray(b"tiny"))], "media_id long, blob binary")
     with pytest.raises(Exception, match="shorter than"):
         multimodal.extract_metadata(bad).collect()
+
+
+def test_image_features_null_blobs(spark):
+    """NULL blobs must produce null feature rows, not bytes(None) TypeError."""
+    media = multimodal.synth_media_df(spark, 10, partitions=2)
+    with_nulls = media.withColumn(
+        "blob", F.when(F.col("media_id") % 3 == 0, F.lit(None)).otherwise(F.col("blob"))
+    )
+    feats = {r["media_id"]: r for r in multimodal.image_features(with_nulls).collect()}
+    assert len(feats) == 10
+    for mid, r in feats.items():
+        if mid % 3 == 0:
+            assert r["thumb"] is None
+            assert r["mean_px"] is None or r["mean_px"] != r["mean_px"]  # null or NaN
+        else:
+            assert r["thumb"] is not None and len(r["thumb"]) == 16
 
 
 def test_real_codec_absent_raises(spark):
