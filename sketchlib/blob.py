@@ -45,6 +45,15 @@ def unpack(blob: bytes) -> tuple[str, _Cfg, bytes]:
         raise SketchConfigError(f"bad magic {magic!r}")
     if ver != VERSION:
         raise SketchConfigError(f"unsupported blob version {ver}")
+    if sid not in ID_TO_NAME:
+        raise SketchConfigError(f"unknown sketch id {sid}")
     off = _HDR.size
-    cfg = _Cfg.from_json(blob[off : off + cfg_len].decode("utf-8"))
+    if len(blob) < off + cfg_len:
+        raise SketchConfigError(
+            f"blob truncated: header says {cfg_len} config bytes, "
+            f"{len(blob) - off} available")
+    try:
+        cfg = _Cfg.from_json(blob[off : off + cfg_len].decode("utf-8"))
+    except (UnicodeDecodeError, ValueError, KeyError, TypeError) as e:
+        raise SketchConfigError(f"corrupt blob config: {e!r}") from e
     return ID_TO_NAME[sid], cfg, blob[off + cfg_len :]

@@ -94,51 +94,12 @@ def _bit_indices(keys: np.ndarray, cfg: BloomConfig) -> np.ndarray:
 
 
 def _bit_indices32(keys: np.ndarray, cfg: BloomConfig) -> np.ndarray:
-    n = keys.shape[0]
-    B = cfg.block_bits
-    seed = cfg.hash_seed
-    k, s, z = cfg.k, cfg.sectors, cfg.zones
-    sector_bits = cfg.sector_bits
-    lb_sector = _log2(sector_bits)
-
-    mix = cfg.hash_family != "mul"
-    h0 = _hash32(keys, 0, cfg)
-    block_base = _block_base32(h0, cfg)
-
-    out = np.empty((k, n), dtype=np.uint32)
-    if z == 1:
-        for i in range(k):
-            row = out[i]
-            if mix:
-                row[:] = _hash32(keys, 1 + i, cfg)
-            else:
-                np.multiply(keys.astype(np.uint32, copy=False),
-                            _mul_const(1 + i, seed), out=row)
-            np.right_shift(row, np.uint32(32 - lb_sector), out=row)
-            row += block_base
-            if i % s:
-                row += np.uint32((i % s) * sector_bits)
-        return out
-
-    zone_bits = B // z
-    spz, kpz = s // z, k // z
-    lb_z = _log2(z)
-    for g in range(z):
-        hz = _hash32(keys, 1 + k + g, cfg)
-        zone_base = block_base + (hz >> np.uint32(32 - lb_z)) * np.uint32(zone_bits) \
-            if lb_z else block_base
-        for j in range(kpz):
-            i = g * kpz + j
-            row = out[i]
-            if mix:
-                row[:] = _hash32(keys, 1 + i, cfg)
-            else:
-                np.multiply(keys.astype(np.uint32, copy=False),
-                            _mul_const(1 + i, seed), out=row)
-            np.right_shift(row, np.uint32(32 - lb_sector), out=row)
-            row += zone_base
-            if j % spz:
-                row += np.uint32((j % spz) * sector_bits)
+    """(k, n) bit-index matrix — materialized from ``_bit_rows32`` so the
+    block/sector/zone layout has exactly ONE implementation (a hand-synced
+    twin here used to risk silent insert/contains divergence)."""
+    out = np.empty((cfg.k, keys.shape[0]), dtype=np.uint32)
+    for i, row in enumerate(_bit_rows32(keys, cfg)):
+        out[i] = row
     return out
 
 
@@ -240,10 +201,17 @@ def _bit_indices64(keys: np.ndarray, cfg: BloomConfig) -> np.ndarray:
 
 
 def _as_keys(tokens: np.ndarray) -> np.ndarray:
-    """Validate and view token ids as uint32 keys (corpus contract: >= 0)."""
+    """Validate and view token ids as uint32 keys (corpus contract:
+    0 <= id < 2**32). Out-of-range ids raise rather than silently alias
+    their low 32 bits (token 2**32 would otherwise probe as token 0 —
+    inflated FPR with no error)."""
     if tokens.dtype.kind == "i":
         if tokens.size and int(tokens.min()) < 0:
             raise SketchConfigError("negative token ids are not allowed")
+    if tokens.dtype.itemsize > 4 and tokens.size and int(tokens.max()) > 0xFFFFFFFF:
+        raise SketchConfigError(
+            "token ids must fit in 32 bits (got a value > 2**32-1); "
+            "pre-hash 64-bit keys to 32 bits explicitly if aliasing is intended")
     return tokens.astype(np.uint32, copy=False)
 
 
@@ -321,10 +289,13 @@ def insert(bits: np.ndarray, tokens: np.ndarray, cfg: BloomConfig) -> None:
 
 
 def build(tokens: np.ndarray, cfg: BloomConfig) -> bytes:
-    """Build a filter over ``tokens`` and return the blob."""
-    bits = empty(cfg)
-    insert(bits, tokens, cfg)
-    return blobmod.pack("bloom", cfg, bits.tobytes())
+    """Build a filter over ``tokens`` and return the blob. Delegates to
+    ``BloomBuilder`` (one bool scratch packed once) rather than per-chunk
+    ``insert``+``packbits``, which pays O(m) per 2M-key chunk; output is
+    byte-identical."""
+    b = BloomBuilder(cfg)
+    b.update(tokens)
+    return blobmod.pack("bloom", cfg, b.to_payload())
 
 
 def contains(tokens: np.ndarray, payload: np.ndarray, cfg: BloomConfig) -> np.ndarray:

@@ -139,8 +139,14 @@ class CuckooFilter:
                         self._alt_bucket(np.array([cur_b]), np.array([cur_tag], np.uint16))[0]
                     )
                 if not ok:
+                    # report the table's ACTUAL occupancy: self.n is only
+                    # bumped after this call returns, so it excludes every
+                    # tag placed in the current batch/merge and would make
+                    # expected capacity exhaustion look like a pathology
+                    occupied = int((self.table != _EMPTY).sum())
                     raise SketchConfigError(
-                        f"cuckoo filter full (n={self.n}, capacity={self.cfg.capacity})"
+                        f"cuckoo filter full (occupied={occupied}, "
+                        f"capacity={self.cfg.capacity})"
                     )
 
     def contains(self, keys: np.ndarray) -> np.ndarray:

@@ -21,8 +21,13 @@ import numpy as np
 
 # Fixed odd 32-bit multiplicative constants. C[0] is Knuth's golden-ratio
 # constant (floor(2^32 / phi) | 1); the rest are derived deterministically via
-# splitmix and forced odd. These never change — blobs depend on them.
-_N_CONST = 24
+# splitmix and forced odd. Existing constants never change — blobs depend on
+# them (the generator is a running stream, so extending the table appends new
+# entries without touching old indices). The Bloom kernel's highest index is
+# 1 + k + (zones - 1) <= 33 at the config caps (k <= 16, zones <= 16): the
+# table must be at least that long, or the zone-choice hash silently aliases
+# a bit hash via the modulo in mul_hash32 and the zoned FPR model breaks.
+_N_CONST = 40
 
 
 def _gen_constants() -> np.ndarray:
@@ -65,25 +70,6 @@ def splitmix64(keys: np.ndarray, seed: int = 0) -> np.ndarray:
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         z = z ^ (z >> np.uint64(31))
     return z
-
-
-def hash_bytes64(data: "np.ndarray | list[bytes]", seed: int = 0) -> np.ndarray:
-    """FNV-1a 64 over byte strings, finalized with splitmix — for string keys.
-
-    Accepts a list/array of ``bytes``; returns uint64 hashes. Python-loop over
-    rows (only used for string-keyed sketches like MinHash over shingles where
-    the caller batches per Arrow batch; numeric paths never come through here).
-    """
-    FNV_OFF = 0xCBF29CE484222325
-    FNV_PRIME = 0x100000001B3
-    out = np.empty(len(data), dtype=np.uint64)
-    mask = (1 << 64) - 1
-    for i, b in enumerate(data):
-        h = FNV_OFF
-        for byte in b:
-            h = ((h ^ byte) * FNV_PRIME) & mask
-        out[i] = h
-    return splitmix64(out, seed=seed)
 
 
 def popcount64(x: np.ndarray) -> np.ndarray:

@@ -53,17 +53,15 @@ def empty(cfg: HLLConfig) -> np.ndarray:
 
 def _batch_pairs(values: np.ndarray, cfg: HLLConfig) -> tuple[np.ndarray, np.ndarray]:
     """(idx, rank) with one entry per distinct register touched by the batch
-    (max rank per register), idx-sorted. Sort trick: ``maximum.at`` is slow;
-    sort the combined (idx << 6 | rank) key and take the last entry per idx."""
+    (max rank per register), idx-sorted — hashing then delegating the
+    max-per-register step to ``_consolidate_pairs`` (one home for the
+    sort-combined trick and its 6-bit-rank invariant)."""
     low_bits = 64 - cfg.p
     low_mask = np.uint64((1 << low_bits) - 1)
     h = splitmix64(values, seed=cfg.hash_seed)
     idx = h >> np.uint64(low_bits)
     rank = (low_bits + 1 - bit_length64(h & low_mask)).astype(np.uint64)
-    combined = np.sort((idx << np.uint64(6)) | rank)
-    si = (combined >> np.uint64(6)).astype(np.int64)
-    last = np.flatnonzero(np.r_[si[1:] != si[:-1], True])
-    return si[last], (combined[last] & np.uint64(63)).astype(np.uint8)
+    return _consolidate_pairs(idx, rank)
 
 
 def insert(regs: np.ndarray, values: np.ndarray, cfg: HLLConfig) -> None:
@@ -74,7 +72,11 @@ def insert(regs: np.ndarray, values: np.ndarray, cfg: HLLConfig) -> None:
 
 
 def _consolidate_pairs(idx: np.ndarray, rank: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Max rank per register over possibly-duplicated pairs; idx-sorted."""
+    """Max rank per register over possibly-duplicated pairs; idx-sorted.
+    Sort trick: ``maximum.at`` is slow; sort the combined ``idx << 6 | rank``
+    key and take the last entry per idx. The 6-bit rank field is safe because
+    ``p >= 4`` caps rank at 61 — widen BOTH the shift and mask if that ever
+    changes."""
     if idx.size == 0:
         return idx.astype(np.int64), rank.astype(np.uint8)
     combined = np.sort((idx.astype(np.uint64) << np.uint64(6)) | rank.astype(np.uint64))
@@ -103,17 +105,31 @@ def _encode(idx_or_regs, rank, m: int) -> bytes:
 
 
 def decode_registers(payload: bytes, p: int) -> np.ndarray:
-    """Payload (either mode) -> dense uint8 register array."""
+    """Payload (either mode) -> dense uint8 register array. Corrupt payloads
+    raise ``SketchConfigError`` rather than returning a wrong-size register
+    array (which would silently skew every downstream estimate) or a bare
+    ``IndexError``."""
     m = 1 << p
+    if not payload:
+        raise SketchConfigError("empty hll payload")
     mode = payload[0]
     body = payload[1:]
     if mode == _DENSE:
+        if len(body) != m:
+            raise SketchConfigError(
+                f"hll dense payload has {len(body)} registers, config says {m}")
         return np.frombuffer(body, dtype=np.uint8).copy()
     if mode != _SPARSE:
         raise SketchConfigError(f"unknown hll payload mode {mode}")
     n = int.from_bytes(body[:4], "little")
+    if len(body) < 4 + 5 * n:
+        raise SketchConfigError(
+            f"hll sparse payload truncated: {n} pairs declared, "
+            f"{len(body) - 4} body bytes")
     idx = np.frombuffer(body[4 : 4 + 4 * n], dtype="<i4").astype(np.int64)
     rank = np.frombuffer(body[4 + 4 * n : 4 + 5 * n], dtype=np.uint8)
+    if idx.size and (int(idx.min()) < 0 or int(idx.max()) >= m):
+        raise SketchConfigError("hll sparse payload has out-of-range register index")
     regs = np.zeros(m, dtype=np.uint8)
     regs[idx] = rank
     return regs
@@ -125,6 +141,10 @@ def _decode_pairs(payload: bytes) -> tuple[np.ndarray, np.ndarray] | None:
         return None
     body = payload[1:]
     n = int.from_bytes(body[:4], "little")
+    if len(body) < 4 + 5 * n:
+        raise SketchConfigError(
+            f"hll sparse payload truncated: {n} pairs declared, "
+            f"{len(body) - 4} body bytes")
     idx = np.frombuffer(body[4 : 4 + 4 * n], dtype="<i4").astype(np.int64)
     rank = np.frombuffer(body[4 + 4 * n : 4 + 5 * n], dtype=np.uint8)
     return idx, rank

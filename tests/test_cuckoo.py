@@ -3,6 +3,8 @@ blob round-trip, merge semantics."""
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pytest
 
@@ -47,8 +49,12 @@ def test_delete_roundtrip():
 
 def test_overfill_raises():
     cfg = CuckooConfig(n_buckets=1 << 6, bucket_size=4, bits_per_tag=12)
-    with pytest.raises(SketchConfigError):
+    with pytest.raises(SketchConfigError, match="occupied=") as ei:
         CuckooFilter(cfg).insert(np.arange(400, dtype=np.int64))  # >100% load
+    # the error must report the table's REAL occupancy at failure (self.n is
+    # bumped only after insert returns, so it used to read 0 here)
+    occ = int(re.search(r"occupied=(\d+)", str(ei.value)).group(1))
+    assert occ > 0.8 * cfg.capacity
 
 
 def test_blob_roundtrip_and_merge():

@@ -79,7 +79,10 @@ _ZONED = [
     BloomConfig(m_bits=1 << int(math.ceil(math.log2(N_KEYS * bpk))), k=k,
                 word_bits=64, words_per_block=8, sectors=s, zones=z)
     for bpk in (8, 16)
-    for (s, z, k) in [(8, 2, 8), (8, 4, 8), (4, 2, 4), (4, 4, 4), (2, 2, 8), (8, 8, 8)]
+    # (16, 8, 16) / (16, 16, 16): zone-constant indices 24 / 32 — regression
+    # for the 24-entry hash-table wrap that made zone = f(block index)
+    for (s, z, k) in [(8, 2, 8), (8, 4, 8), (4, 2, 4), (4, 4, 4), (2, 2, 8), (8, 8, 8),
+                      (16, 8, 16), (16, 16, 16)]
 ]
 
 

@@ -87,6 +87,10 @@ GRID = [
     BloomConfig(m_bits=1 << 16, k=8, word_bits=64, words_per_block=8, sectors=8),
     BloomConfig(m_bits=1 << 16, k=8, word_bits=64, words_per_block=8, sectors=8, zones=2),
     BloomConfig(m_bits=1 << 16, k=6, word_bits=32, words_per_block=16, sectors=2),
+    # max-k zoned configs: constant indices reach 1+k+z-1 = 24 and 32 — these
+    # aliased back into the bit-hash constants when the table was 24 long
+    BloomConfig(m_bits=1 << 16, k=16, word_bits=64, words_per_block=8, sectors=16, zones=8),
+    BloomConfig(m_bits=1 << 16, k=16, word_bits=64, words_per_block=8, sectors=16, zones=16),
     # magic (fastrange) addressing: non-power-of-two block counts (A7)
     BloomConfig(m_bits=100 * 512, k=8, word_bits=64, words_per_block=8, sectors=8,
                 addressing="magic"),
@@ -151,6 +155,39 @@ def test_bloom_negative_tokens_rejected():
     cfg = BloomConfig(m_bits=1 << 12, k=2)
     with pytest.raises(SketchConfigError):
         bloom.build(np.array([-1, 2, 3], dtype=np.int32), cfg)
+
+
+def test_bloom_out_of_range_tokens_rejected():
+    """Keys >= 2**32 must raise, not silently alias their low 32 bits
+    (token 2**32 used to probe as token 0 — inflated FPR, no error)."""
+    cfg = BloomConfig(m_bits=1 << 12, k=2)
+    with pytest.raises(SketchConfigError, match="32 bits"):
+        bloom.build(np.array([2**32], dtype=np.int64), cfg)
+    with pytest.raises(SketchConfigError, match="32 bits"):
+        bloom.build(np.array([2**63], dtype=np.uint64), cfg)
+    blob_ok = bloom.build(np.array([1, 2**32 - 1], dtype=np.int64), cfg)
+    assert bloom.contains_blob(np.array([2**32 - 1], dtype=np.uint64), blob_ok).all()
+    with pytest.raises(SketchConfigError, match="32 bits"):
+        bloom.contains_blob(np.array([2**32], dtype=np.int64), blob_ok)
+
+
+def test_zone_hash_constants_not_aliased():
+    """With k=16, zones in {8,16} the zone-choice constant index reaches 24
+    and 32; the 24-entry table wrapped those onto the block/bit-hash
+    constants, making the zone a deterministic function of the block index
+    (breaking the independent-zone-arrival FPR model). The table must be
+    long enough that every zone hash differs from every bit hash."""
+    from sketchlib.bloom import _hash32
+
+    keys = RNG.integers(0, 2**31 - 1, 2_000).astype(np.int32).astype(np.uint32)
+    for z in (8, 16):
+        cfg = BloomConfig(m_bits=1 << 16, k=16, word_bits=64, words_per_block=8,
+                          sectors=16, zones=z)
+        prior = [_hash32(keys, i, cfg) for i in range(1 + cfg.k)]
+        for g in range(z):
+            hz = _hash32(keys, 1 + cfg.k + g, cfg)
+            for h in prior:
+                assert not np.array_equal(hz, h)
 
 
 def test_bloom_merge_equals_union_build():
@@ -246,6 +283,30 @@ def test_blob_roundtrip_and_bad_blob():
         blobmod.unpack(b"XXXX" + b[4:])
     with pytest.raises(SketchConfigError):
         bloom.contains_blob(np.arange(3, dtype=np.int32), b)  # wrong sketch kind
+    # every malformed-blob shape raises SketchConfigError, never a bare
+    # KeyError / UnicodeDecodeError / IndexError
+    with pytest.raises(SketchConfigError, match="unknown sketch id"):
+        blobmod.unpack(b[:4] + bytes([99]) + b[5:])  # corrupt sid byte
+    with pytest.raises(SketchConfigError, match="truncated"):
+        blobmod.unpack(b[:6] + (0xFFFF).to_bytes(2, "little") + b[8:])  # huge cfg_len
+    with pytest.raises(SketchConfigError, match="corrupt blob config"):
+        blobmod.unpack(b[:8] + b"\xff" * (len(b) - 8))  # non-JSON config bytes
+
+
+def test_hll_corrupt_payload_raises():
+    """Truncated / out-of-range HLL payloads raise SketchConfigError instead
+    of silently skewing estimates (short dense) or bare IndexError (sparse)."""
+    cfg = HLLConfig(p=8)
+    with pytest.raises(SketchConfigError, match="dense payload"):
+        hll.decode_registers(bytes([0]) + b"\x00" * 100, cfg.p)  # short dense
+    with pytest.raises(SketchConfigError, match="truncated"):
+        hll.decode_registers(bytes([1]) + (50).to_bytes(4, "little") + b"\x00" * 10, cfg.p)
+    bad_idx = (bytes([1]) + (1).to_bytes(4, "little")
+               + (3000).to_bytes(4, "little", signed=True) + bytes([5]))
+    with pytest.raises(SketchConfigError, match="out-of-range"):
+        hll.decode_registers(bad_idx, cfg.p)  # idx 3000 >= m=256
+    with pytest.raises(SketchConfigError, match="empty"):
+        hll.decode_registers(b"", cfg.p)
 
 
 def test_hll_sparse_dense_parity_and_merge_modes():
