@@ -200,6 +200,13 @@ def total_blob(blob: bytes) -> int:
     """N — total insertions (row sums are all N; use row 0). Caveat for
     narrow counters: once any cell in the row has saturated at counter_max
     the row sum undercounts true N — exact only below the saturation cap
-    (always exact for the 64-bit default)."""
+    (always exact for the 64-bit default). Refused for conservative-update
+    blobs: CU raises cells to a max rather than adding, so no row sums to N."""
     name, cfg, payload = blobmod.unpack(blob)
+    if name != "cms":
+        raise SketchConfigError("total_blob: not a cms blob")
+    if getattr(cfg, "conservative", False):
+        raise SketchConfigError(
+            "total_blob is undefined for conservative-update CMS (row sums "
+            "are not N under CU); track N exactly alongside the sketch")
     return int(_payload_to_counters(cfg, payload)[0].sum())

@@ -36,7 +36,14 @@ class _Cfg:
     def from_json(s: str) -> "_Cfg":
         d = json.loads(s)
         cls_name = d.pop("_cls")
-        cls = _CFG_CLASSES[cls_name]
+        cls = _CFG_CLASSES.get(cls_name)
+        if cls is None and cls_name == "CuckooConfig":
+            # CuckooConfig lives in (and self-registers from) sketchlib.cuckoo;
+            # unpacking a cuckoo blob must not depend on who imported it first
+            import sketchlib.cuckoo  # noqa: F401
+            cls = _CFG_CLASSES.get(cls_name)
+        if cls is None:
+            raise SketchConfigError(f"unknown config class {cls_name!r}")
         return cls(**d)
 
     def require_same(self, other: "_Cfg") -> None:

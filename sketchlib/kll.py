@@ -185,11 +185,22 @@ class KLL:
 
     @classmethod
     def from_payload(cls, cfg: KLLConfig, payload: bytes) -> "KLL":
+        # corrupt payloads raise SketchConfigError, not struct.error or
+        # silently-short level slices (same contract as blob.unpack)
+        if len(payload) < 12:
+            raise SketchConfigError("kll payload shorter than its header")
         n, n_levels = struct.unpack_from("<QI", payload, 0)
         off = 12
+        if len(payload) < off + 8 * n_levels:
+            raise SketchConfigError(
+                f"kll payload truncated: {n_levels} level counts declared")
         counts = struct.unpack_from(f"<{n_levels}Q", payload, off) if n_levels else ()
         off += 8 * n_levels
         items = np.frombuffer(payload, dtype=np.float64, offset=off)
+        if items.size != sum(counts):
+            raise SketchConfigError(
+                f"kll payload has {items.size} items, level counts sum to "
+                f"{sum(counts)}")
         out = cls(cfg)
         out.n = n
         out.levels = []

@@ -130,6 +130,12 @@ class TDigest:
 
     @classmethod
     def from_payload(cls, cfg: TDigestConfig, payload: bytes) -> "TDigest":
+        # corrupt payloads raise SketchConfigError, not struct.error /
+        # reshape ValueError (same contract as blob.unpack)
+        if len(payload) < 8 or (len(payload) - 8) % 16:
+            raise SketchConfigError(
+                f"tdigest payload length {len(payload)} is not a header plus "
+                "whole (mean, weight) pairs")
         (n,) = struct.unpack_from("<Q", payload, 0)
         arr = np.frombuffer(payload, dtype=np.float64, offset=8).reshape(-1, 2)
         out = cls(cfg)

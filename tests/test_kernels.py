@@ -4,12 +4,15 @@ tests, SURVEY.md §5.1)."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
 from sketchlib import blob as blobmod, bloom, cms, hll, kll, minhash, tdigest
 from sketchlib.config import (
     BloomConfig, CMSConfig, HLLConfig, KLLConfig, MinHashConfig, SketchConfigError,
+    TDigestConfig,
 )
 from sketchlib.hashing import MUL_CONSTANTS_32, bit_length64, popcount64, splitmix64
 
@@ -291,6 +294,34 @@ def test_blob_roundtrip_and_bad_blob():
         blobmod.unpack(b[:6] + (0xFFFF).to_bytes(2, "little") + b[8:])  # huge cfg_len
     with pytest.raises(SketchConfigError, match="corrupt blob config"):
         blobmod.unpack(b[:8] + b"\xff" * (len(b) - 8))  # non-JSON config bytes
+
+
+def test_kll_tdigest_corrupt_payload_raises():
+    """Truncated / misaligned quantile-sketch payloads raise
+    SketchConfigError, not struct.error or reshape ValueError."""
+    kcfg, tcfg = KLLConfig(), TDigestConfig()
+    with pytest.raises(SketchConfigError, match="shorter"):
+        kll.KLL.from_payload(kcfg, b"\x00" * 4)
+    with pytest.raises(SketchConfigError, match="truncated"):
+        kll.KLL.from_payload(
+            kcfg, struct.pack("<QI", 10, 50))  # 50 level counts, none present
+    good = struct.pack("<QIQ", 2, 1, 2) + np.array([1.0, 2.0]).tobytes()
+    assert kll.KLL.from_payload(kcfg, good).n == 2
+    with pytest.raises(SketchConfigError, match="items"):
+        kll.KLL.from_payload(kcfg, good + b"\x00" * 8)  # extra item vs counts
+    with pytest.raises(SketchConfigError, match="pairs"):
+        tdigest.TDigest.from_payload(tcfg, struct.pack("<Q", 1) + b"\x00" * 12)
+    with pytest.raises(SketchConfigError, match="pairs"):
+        tdigest.TDigest.from_payload(tcfg, b"\x00" * 4)
+
+
+def test_cms_cu_total_blob_refused():
+    """total_blob is row-sum-equals-N math; CU raises cells to maxima, so it
+    must refuse rather than return a silently wrong N."""
+    cfg = CMSConfig(eps=0.01, delta=0.1, conservative=True)
+    b = cms.build_blob(np.arange(1000, dtype=np.int64), cfg)
+    with pytest.raises(SketchConfigError, match="conservative"):
+        cms.total_blob(b)
 
 
 def test_hll_corrupt_payload_raises():
