@@ -88,7 +88,12 @@ def save_probe_table(rows: list[dict], path=None) -> Path:
     p.parent.mkdir(parents=True, exist_ok=True)
     meta = {"saved_at": time.time(), "host": platform.node(),
             "host_fp": host_fingerprint()}
-    p.write_text(json.dumps({"rows": rows, **meta}, indent=1))
+    # atomic replace, same rationale as save_calibration: a crash mid-write
+    # must not leave truncated JSON that load_probe_table silently treats as
+    # "no measurements" (falling back to the fitted model with no signal)
+    tmp = p.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps({"rows": rows, **meta}, indent=1))
+    os.replace(tmp, p)
     return p
 
 
@@ -143,6 +148,12 @@ def save_calibration(points: list[dict], path=None) -> Path:
                     float(pt["ns"])  # the merge below compares on it
                 except (KeyError, TypeError, ValueError):
                     continue
+                # ts-less legacy points: pin to the OLD file's saved_at now.
+                # Without the backfill they would ride each save's refreshed
+                # saved_at at load time and never hit the 7-day age cap —
+                # dead-epoch measurements steering the advisor forever.
+                if "ts" not in pt:
+                    pt = {**pt, "ts": float(old.get("saved_at", 0.0))}
                 merged[key] = pt
     except (OSError, ValueError, TypeError):
         pass
@@ -370,7 +381,10 @@ CANDIDATE_K_MENU = (2, 4, 6, 8, 12, 16)
 def _candidate_configs(n: int, geometries=None, max_bits_per_key: int = 24):
     geometries = geometries or DEFAULT_GEOMETRIES
     m_lo = max(1 << 9, 1 << int(math.ceil(math.log2(max(n, 1) * 2))))
-    m_hi = 1 << int(math.ceil(math.log2(max(n, 1) * max_bits_per_key)))
+    # floor m_hi at m_lo: for tiny n (< ~22 keys at the default 24 bits/key)
+    # the unfloored m_hi sits below the 512-bit m_lo and the generator would
+    # yield nothing -> 'no candidate configs' crash for small key sets
+    m_hi = max(m_lo, 1 << int(math.ceil(math.log2(max(n, 1) * max_bits_per_key))))
     m = m_lo
     while m <= m_hi:
         for g in geometries:

@@ -108,6 +108,9 @@ def probe_sets(member_pool: np.ndarray, seed: int = 43,
     """FIXTURES.md F2: (members ⊆ pool, non_members ⊆ [V, 2**31) — disjoint
     from any valid token id)."""
     rng = np.random.default_rng(seed)
-    members = np.unique(rng.choice(member_pool, size=min(n_members, member_pool.size)))
+    # without replacement: the with-replacement default + unique used to
+    # deliver ~20-40% fewer members than the documented fixture size
+    members = np.unique(rng.choice(
+        member_pool, size=min(n_members, member_pool.size), replace=False))
     non_members = rng.integers(VOCAB, 2**31 - 1, size=n_non, dtype=np.int64).astype(np.int32)
     return members.astype(np.int32), np.unique(non_members)

@@ -179,16 +179,6 @@ def approx_topk(
             "plain CMSConfig for the distributed partial/merge path")
     fused = _fused_scan(df, col, c, cfg).persist()
     try:
-        cand = (
-            fused.where(F.col("blob").isNull())
-            .groupBy("value").agg(F.sum("cnt").alias("cnt"))
-            .orderBy(F.desc("cnt"), "value")
-            .limit(4 * c)
-        )
-        cand_vals = np.array([r["value"] for r in cand.collect()], dtype=np.int64)
-        if cand_vals.size == 0:
-            return []
-
         partials = fused.where(F.col("blob").isNotNull()).select(
             "sketch", "group", "part", "blob", "rows", "items", "t_ms")
         fanout = agg._auto_fanout([agg.SketchSpec("cms", cfg, col)])
@@ -196,8 +186,22 @@ def approx_topk(
         merged = agg.merge_partials(
             partials, fanout=fanout, levels=agg.merge_levels(fanout, n_parts))
         blob = agg.collect_blobs(merged)[("cms", "")]
+
+        # score the FULL candidate union distributively: broadcast the merged
+        # CMS and probe each candidate where it lives, then TakeOrdered k.
+        # (A driver-side `limit(4*c)` ranked by summed LOCAL top-c counts
+        # used to truncate first — local sums underestimate true counts, so
+        # a genuinely heavy value could be cut before scoring, a miss mode
+        # the module contract rules out. The union is structurally bounded
+        # at partitions * c rows, so the probe side is tiny either way.)
+        from sketchlib import probe
+
+        cand = (
+            fused.where(F.col("blob").isNull())
+            .groupBy("value").agg(F.sum("cnt").alias("cnt"))
+        )
+        scored = probe.with_cms_count(cand.select("value"), blob, "value", "est")
+        top = scored.orderBy(F.desc("est"), "value").limit(k).collect()
     finally:
         fused.unpersist()
-    est = cms.query_blob(cand_vals, blob)
-    order = np.lexsort((cand_vals, -est))[:k]
-    return [(int(cand_vals[i]), int(est[i])) for i in order]
+    return [(int(r["value"]), int(r["est"])) for r in top]

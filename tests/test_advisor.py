@@ -134,6 +134,33 @@ def test_calibration_best_per_point_merge(tmp_path, monkeypatch):
                                                          (1 << 24, 50.0)]
 
 
+def test_small_n_still_yields_candidates():
+    """m_hi used to fall below the 512-bit m_lo for n <= ~21 keys, so the
+    candidate generator yielded nothing and suggest_config_cost crashed."""
+    for n in (1, 10, 21):
+        cfg = advisor.suggest_config_cost(n, 100.0)
+        assert cfg.m_bits >= 512, (n, cfg)
+
+
+def test_calibration_ts_less_legacy_points_expire(tmp_path, monkeypatch):
+    """A point WITHOUT a ts (pre-ts format / hand-edited file) must be pinned
+    to the old file's saved_at when merged — not ride every save's refreshed
+    saved_at at load time and steer the advisor forever."""
+    path = tmp_path / "calibration.json"
+    monkeypatch.setenv(advisor.CALIBRATION_ENV, str(path))
+    old_saved = time.time() - 8 * 86400
+    body = {"host_fp": advisor.host_fingerprint(), "host": "x",
+            "saved_at": old_saved,
+            "points": [dict(**_geo64(), m_bits=1 << 20, ns=30.0)]}  # no ts
+    path.write_text(json.dumps(body))
+    # saving a DIFFERENT point merges the legacy one through
+    advisor.save_calibration([dict(**_geo64(), m_bits=1 << 24, ns=50.0)])
+    curves = advisor.load_calibration()
+    # the ts-less legacy point is stale (pinned to old saved_at) -> dropped;
+    # only the fresh point survives
+    assert curves[(64, 1, 1, 4)] == [(1 << 24, 50.0)]
+
+
 def test_calibration_remeasurement_refreshes_timestamp(tmp_path, monkeypatch):
     """A worse re-measurement keeps the best ns but must refresh the point's
     ts: the age cap tracks 'last confirmed', not 'first measured'. Otherwise

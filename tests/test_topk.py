@@ -38,6 +38,32 @@ def test_approx_topk_scalar_column(spark):
         assert abs(est - (1429 if v < 3 else 1428)) <= 10
 
 
+def test_approx_topk_scores_full_candidate_union(spark):
+    """The true global #1 can rank LAST in the candidate union by summed
+    local top-c counts (locally light everywhere but one partition, globally
+    heavy via sub-top-c occurrences the sums never see). A driver-side
+    limit on that ranking used to cut it before CMS scoring; the full union
+    must be scored."""
+    sc = spark.sparkContext
+    X = 999
+    slices = []
+    for p in range(8):
+        # partition 0 has only 3 fillers so X lands in ITS local top-4;
+        # everywhere else 4 heavier fillers keep X out of the local top-c
+        fillers = [10_000 + 10 * p + j for j in range(3 if p == 0 else 4)]
+        part = [f for f in fillers for _ in range(20)]  # local top-4, 20 each
+        part += [X] * (10 if p == 0 else 9)  # X: top-c ONLY in partition 0
+        slices.append(part)
+    rdd = sc.parallelize(range(8), 8).flatMap(lambda p: slices[p])
+    df = rdd.map(lambda v: (v,)).toDF(["value"])
+    assert df.rdd.getNumPartitions() == 8
+    # X true count = 10 + 7*9 = 73 > every filler's 20; its summed local
+    # top-c count is 10 — dead last among 32+ candidates (old limit 4*c=16)
+    got = topk.approx_topk(df, "value", k=1, candidates_per_partition=4)
+    assert got[0][0] == X, got
+    assert got[0][1] >= 73  # CMS never underestimates
+
+
 def test_approx_topk_refuses_cu_config_before_scan(spark):
     """CU partials are not mergeable; the refusal must fire BEFORE the input
     scan (same up-front policy as agg._build_partials_fn), not inside
