@@ -12,6 +12,7 @@ BENCH/BASELINE.md is (re)written from all accumulated samples whenever a
 clean pair exists, and at the end either way.
 
 Usage: python bench/hunt_scaling.py [n_docs] [n_small] [budget_s] [target_pairs]
+                                    [engine] [max_epoch_factor]
 """
 
 from __future__ import annotations
@@ -55,6 +56,12 @@ def main() -> None:
     budget_s = int(sys.argv[3]) if len(sys.argv) > 3 else 7200
     target_pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     engine = sys.argv[5] if len(sys.argv) > 5 else "df"
+    # optional fast-epoch gate: only fire when the CURRENT epoch factor
+    # (single-spin vs all-time floor) is at or below this. The default (inf)
+    # keeps the round-3 epoch-relative behavior — any stable epoch is valid
+    # ratio evidence; a finite gate hunts specifically for fast-epoch pairs
+    # (the one evidence class the slow-epoch ladders cannot provide).
+    max_epoch = float(sys.argv[6]) if len(sys.argv) > 6 else float("inf")
     n_big = 4 * n_small
     zpath = rs.make_zip()
     floor = rs.spin_floor()
@@ -101,6 +108,9 @@ def main() -> None:
     # pair epoch_matched iff the two factors agree within 15%.
     while time.time() < deadline and clean_pairs() < target_pairs:
         s1 = _epoch()
+        if s1 / floor > max_epoch:
+            time.sleep(60)  # epochs flip on multi-minute hypervisor cadence
+            continue
         sN = rs.spin_ms_parallel(n_big)
         if sN > rs._clean_ratio(n_big) * s1:
             time.sleep(20)
