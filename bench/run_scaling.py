@@ -30,7 +30,6 @@ import os
 import subprocess
 import sys
 import threading
-import time
 import zipfile
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

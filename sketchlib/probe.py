@@ -22,7 +22,7 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
 
-from sketchlib import arrowutil, blob as blobmod, bloom, cms, cuckoo, kll, tdigest
+from sketchlib import arrowutil, blob as blobmod, bloom, cms, cuckoo, kll
 from sketchlib.config import SketchConfigError
 
 

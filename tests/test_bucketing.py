@@ -5,8 +5,6 @@ Exchange in the plan."""
 
 from __future__ import annotations
 
-import pytest
-from pyspark.sql import functions as F
 
 
 def _plan(df) -> str:

@@ -4,10 +4,9 @@ reorder within or corrupt a document's token array."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
-from sketchlib import agg, datagen, job
+from sketchlib import datagen, job
 
 
 def _rows_by_doc(df):

@@ -3,8 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
-import pytest
-from pyspark.sql import Row, functions as F
+from pyspark.sql import Row
 
 from sketchlib import bloom, fpr, hll, probe
 from sketchlib.config import HLLConfig

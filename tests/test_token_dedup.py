@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 from pyspark.sql import Row, functions as F
 
-from sketchlib import agg, datagen, textops
+from sketchlib import agg, textops
 from sketchlib.config import BloomConfig, SketchConfigError
 
 

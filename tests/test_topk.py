@@ -3,7 +3,6 @@ with CMS-accurate counts."""
 
 from __future__ import annotations
 
-import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
