@@ -27,7 +27,6 @@ Usage: python bench/calibrate.py [--quick]
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 import time
@@ -50,14 +49,14 @@ K_MENU = advisor.CANDIDATE_K_MENU
 
 
 def _epoch_factor() -> float:
-    try:
-        with open(os.path.join(REPO, "BENCH", "spin_floor.json")) as fh:
-            floor = float(json.load(fh)["spin_floor_ms"])
-        return round(noise.spin_ms_parallel(4) / floor, 2)
-    except (OSError, ValueError, KeyError, TypeError, ZeroDivisionError):
-        # a corrupt spin_floor.json (zero floor, wrong top-level type) must
-        # degrade to the 0.0 sentinel, not abort a multi-minute sweep
+    floor = noise.read_spin_floor(REPO)
+    if floor is None:
+        # no (or corrupt) floor on record: 0.0 = "epoch unknown" sentinel.
+        # Deliberately NOT run_scaling.spin_floor()'s fresh-measurement
+        # fallback — that would anchor the factor to the CURRENT epoch and
+        # report ~1.0 no matter how slow the host actually is.
         return 0.0
+    return round(noise.spin_ms_parallel(4) / floor, 2)
 
 
 def sweep(quick: bool = False, sizes=None, reps=None, n_probes=None) -> list[dict]:

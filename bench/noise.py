@@ -19,6 +19,7 @@ hypervisor-level CPU steal (measured up to ~20%). Lessons baked in here
 
 from __future__ import annotations
 
+import json
 import os
 import threading
 import time
@@ -31,6 +32,26 @@ _CALIB = np.random.default_rng(0).integers(0, 1 << 30, 100_000, dtype=np.int64)
 _REPS = 40
 
 _CLK = os.sysconf("SC_CLK_TCK")
+
+
+def read_spin_floor(repo: str) -> float | None:
+    """THE single reader for BENCH/spin_floor.json (bench.py is the writer):
+    the best single-spin (ms) this host has ever shown, or None when the
+    file is missing/corrupt/non-positive. Callers choose their own fallback
+    semantics (fresh measurement, unknown-epoch sentinel, ...) — but the
+    file format is parsed in exactly one place."""
+    path = os.path.join(repo, "BENCH", "spin_floor.json")
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+        obs = [float(o[1]) for o in data.get("observations", [])]
+        if not obs and "spin_floor_ms" in data:  # legacy single-value format
+            obs = [float(data["spin_floor_ms"])]
+        floor = min(obs)
+        return floor if floor > 0 else None
+    except (OSError, ValueError, KeyError, TypeError, AttributeError):
+        # AttributeError: a JSON top-level list has no .get
+        return None
 
 
 def _spin_worker(_i: int) -> float:

@@ -46,11 +46,8 @@ _clean_ratio = noise.clean_ratio
 def spin_floor() -> float:
     """Best single-spin this host has EVER shown (BENCH/spin_floor.json,
     maintained by bench.py); falls back to a fresh measurement."""
-    try:
-        with open(os.path.join(REPO, "BENCH", "spin_floor.json")) as fh:
-            return float(json.load(fh)["spin_floor_ms"])
-    except (OSError, ValueError, KeyError):
-        return min(spin_ms() for _ in range(7))
+    floor = noise.read_spin_floor(REPO)
+    return floor if floor is not None else min(spin_ms() for _ in range(7))
 
 
 def calib_reference() -> float:

@@ -186,11 +186,26 @@ def _build_partials_fn(specs: list[SketchSpec], group_by: str | None, part_col: 
                     ):
                         # SQL keeps a NULL group; without this fill the
                         # object array mixes str and None and np.unique
-                        # raises TypeError on comparison (numeric nulls
-                        # become NaN and label as "nan" below)
+                        # raises TypeError on comparison
                         import pyarrow.compute as pc
                         garr = pc.fill_null(garr, NULL_GROUP)
-                    gcol = garr.to_numpy(zero_copy_only=False).astype(object)
+                        gcol = garr.to_numpy(zero_copy_only=False).astype(object)
+                    elif garr.null_count:
+                        # non-string group with nulls: to_numpy coerces ints
+                        # to float64 (so the SAME group would label "1.0"
+                        # here but "1" in a null-free batch) and np.unique
+                        # cannot sort None/NaN-mixed object arrays (NaN
+                        # poisons the sort — every row becomes its own
+                        # segment). Normalize per row to the final string
+                        # labels instead; this Python loop runs only for
+                        # batches that actually contain a null in a
+                        # non-string group column.
+                        gcol = np.array(
+                            [NULL_GROUP if v is None else str(v)
+                             for v in garr.to_pylist()],
+                            dtype=object)
+                    else:
+                        gcol = garr.to_numpy(zero_copy_only=False).astype(object)
                     guniq, ginv = np.unique(gcol, return_inverse=True)
                 else:
                     guniq, ginv = np.array([_GLOBAL], dtype=object), np.zeros(n, np.int64)

@@ -196,6 +196,11 @@ class KLL:
                 f"kll payload truncated: {n_levels} level counts declared")
         counts = struct.unpack_from(f"<{n_levels}Q", payload, off) if n_levels else ()
         off += 8 * n_levels
+        if (len(payload) - off) % 8:
+            # a payload truncated mid-item would raise a raw ValueError out
+            # of np.frombuffer, breaking the SketchConfigError contract
+            raise SketchConfigError(
+                "kll payload item region is not a whole number of float64s")
         items = np.frombuffer(payload, dtype=np.float64, offset=off)
         if items.size != sum(counts):
             raise SketchConfigError(

@@ -264,6 +264,13 @@ def fit_ivf_centroids(df: DataFrame, dim: int, n_clusters: int = 16,
     if not rows:
         raise ValueError("fit_ivf_centroids: no valid vectors to sample")
     mat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    # NaN/Inf elements pass the isNotNull + size filters but would poison a
+    # centroid mean (and argmax's NaN-stickiness then funnels rows into the
+    # poisoned cluster) — drop them here, same validity rule as
+    # _valid_matrix on the assignment side
+    mat = mat[np.isfinite(mat).all(axis=1)]
+    if not mat.shape[0]:
+        raise ValueError("fit_ivf_centroids: no finite vectors in sample")
     mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-30)
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(mat.shape[0], size=min(n_clusters, mat.shape[0]), replace=False)]

@@ -185,7 +185,12 @@ def approx_topk(
         n_parts = df.rdd.getNumPartitions()
         merged = agg.merge_partials(
             partials, fanout=fanout, levels=agg.merge_levels(fanout, n_parts))
-        blob = agg.collect_blobs(merged)[("cms", "")]
+        blobs = agg.collect_blobs(merged)
+        if ("cms", "") not in blobs:
+            # every partition was empty: no partials (and no candidates)
+            # were emitted, so the top-k of nothing is []
+            return []
+        blob = blobs[("cms", "")]
 
         # score the FULL candidate union distributively: broadcast the merged
         # CMS and probe each candidate where it lives, then TakeOrdered k.

@@ -476,3 +476,12 @@ def test_cms_narrow_counters():
     assert merged.dtype == np.uint8 and (merged == 255).all()
     w = np.full((2, 4), 3, dtype=np.int64)
     assert (cms.merge_payloads(w, w) == 6).all()
+
+
+def test_kll_payload_truncated_mid_item_raises():
+    """A payload whose item region is not a whole number of float64s (e.g.
+    truncated mid-item) must raise SketchConfigError, not np.frombuffer's
+    raw ValueError."""
+    good = struct.pack("<QIQ", 2, 1, 2) + np.array([1.0, 2.0]).tobytes()
+    with pytest.raises(SketchConfigError, match="whole number"):
+        kll.KLL.from_payload(KLLConfig(), good[:-3])

@@ -374,3 +374,30 @@ def test_uint64_parquet_column_fast_path(spark, tmp_path):
     outg = agg.collect_blobs(
         agg.build_sketches_files(spark, path, specs, group_by="g"))
     assert int(cms.query_blob(np.array([1]), outg[("cms", "x")])[0]) == 100
+
+
+def test_null_group_values_numeric_column(spark):
+    """A NUMERIC group column with nulls: Arrow's to_numpy coerces ints to
+    float64 (so the same group would label "1.0" in a null-carrying batch
+    but "1" in a clean one — splitting it in the final output) and
+    np.unique cannot sort None/NaN-mixed object arrays (NaN poisons the
+    sort, degrading every row to its own segment). The per-row normalize
+    path must keep labels identical to the null-free path."""
+    from sketchlib.config import CMSConfig
+
+    specs = [agg.SketchSpec("cms", CMSConfig(eps=0.01, delta=0.01), "v")]
+    df = spark.createDataFrame(
+        [(1, 1), (2, None), (3, 1), (2, None), (5, 2)], "v long, g long")
+    out = agg.collect_blobs(
+        agg.build_sketches(df.coalesce(1), specs, group_by="g"))
+    assert set(out) == {("cms", "1"), ("cms", "2"), ("cms", agg.NULL_GROUP)}
+    est = cms.query_blob(np.array([2]), out[("cms", agg.NULL_GROUP)])
+    assert int(est[0]) == 2
+    # the same group split across a null-carrying and a null-free PARTITION
+    # must merge under one label
+    a = spark.createDataFrame([(1, 1), (2, None)], "v long, g long").coalesce(1)
+    b = spark.createDataFrame([(3, 1)], "v long, g long").coalesce(1)
+    out2 = agg.collect_blobs(agg.build_sketches(a.union(b), specs, group_by="g"))
+    assert set(out2) == {("cms", "1"), ("cms", agg.NULL_GROUP)}
+    est1 = cms.query_blob(np.array([1, 3]), out2[("cms", "1")])
+    assert int(est1[0]) == 1 and int(est1[1]) == 1

@@ -380,6 +380,18 @@ def test_ivf_ann_recall(vectors):
     assert again == ids
 
 
+def test_fit_ivf_centroids_ignores_nonfinite_vectors(spark):
+    """A sampled vector with a NaN/Inf element passes the isNotNull + size
+    filters but would poison a centroid mean (and argmax's NaN-stickiness
+    then funnels rows into the poisoned cluster) — it must be dropped, the
+    same validity rule _valid_matrix applies on the assignment side."""
+    rows = [(i, [float(i % 3) + 1.0, 1.0]) for i in range(30)]
+    rows += [(30, [float("nan"), 1.0]), (31, [float("inf"), 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = simsearch.fit_ivf_centroids(df, dim=2, n_clusters=3, sample=40, iters=4)
+    assert np.isfinite(cent).all()
+
+
 # ---------- multimodal plumbing ---------------------------------------------------
 
 def test_multimodal_metadata_and_features(spark):

@@ -104,3 +104,10 @@ def test_fused_pass_uint64_above_int63_refused():
     lp = topk._make_local_pass("v", 4, CMSConfig(eps=0.01, delta=0.1).to_json())
     with pytest.raises(ValueError, match="2\\*\\*63"):
         list(lp(iter([batch])))
+
+
+def test_approx_topk_empty_input(spark):
+    """The top-k of an empty input is [] — no partials exist, so the blob
+    lookup must not KeyError after the merge returns nothing."""
+    df = spark.range(0).select(F.col("id").cast("int").alias("v"))
+    assert topk.approx_topk(df, "v", k=5) == []
