@@ -116,3 +116,34 @@ def test_cms_never_underestimates_property(a):
     if arr.size:
         uniq, counts = np.unique(arr, return_counts=True)
         assert (cms.query_blob(uniq, blob) >= counts).all()
+
+
+# ---------- parser fuzz: corrupt bytes never leak raw exceptions ------------
+
+@given(st.binary(max_size=256))
+@settings(max_examples=300, deadline=None)
+def test_blob_unpack_total_on_arbitrary_bytes(data):
+    """blob.unpack over ANY byte string either succeeds or raises
+    SketchConfigError — never struct.error / UnicodeDecodeError /
+    json.JSONDecodeError (blobs cross executor/driver and checkpoint
+    boundaries, so the error contract must be total)."""
+    from sketchlib import blob as blobmod
+    from sketchlib.config import SketchConfigError
+    try:
+        blobmod.unpack(data)
+    except SketchConfigError:
+        pass
+
+
+@given(st.binary(max_size=128))
+@settings(max_examples=300, deadline=None)
+def test_quantile_from_payload_total_on_arbitrary_bytes(data):
+    """KLL/TDigest.from_payload on arbitrary payload bytes: parse or
+    SketchConfigError, nothing else."""
+    from sketchlib import kll as kllmod, tdigest as tdmod
+    from sketchlib.config import KLLConfig, SketchConfigError, TDigestConfig
+    for cls, cfg in ((kllmod.KLL, KLLConfig()), (tdmod.TDigest, TDigestConfig())):
+        try:
+            cls.from_payload(cfg, data)
+        except SketchConfigError:
+            pass
