@@ -137,3 +137,26 @@ def test_approx_topk_single_input_scan(spark, corpus_path):
         assert "InMemoryTableScan" in part_plan, part_plan
     finally:
         fused.unpersist()
+
+
+def test_near_dup_joins_never_cartesian(spark):
+    """The LSH band-bucket self-joins (minhash text, token-array, simhash)
+    must plan as hash joins on the band/bucket key — a CartesianProduct or
+    BroadcastNestedLoopJoin here is the all-pairs blowup the banding exists
+    to avoid, and would be fatal at 100 TB."""
+    from sketchlib import textops
+
+    docs = spark.createDataFrame(
+        [(str(i), "the quick brown fox jumps over dog %d" % i) for i in range(60)],
+        "doc_id string, text string")
+    toks = spark.createDataFrame(
+        [(str(i), [j % 97 for j in range(i, i + 40)]) for i in range(60)],
+        "doc_id string, tokens array<int>")
+    plans = {
+        "minhash": _plan(textops.minhash_near_duplicates(docs)),
+        "token": _plan(textops.token_near_duplicates(toks)),
+        "simhash": _plan(textops.simhash_near_duplicates(docs)),
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
