@@ -56,7 +56,7 @@ def main() -> None:
         })
 
     lines = []
-    lines.append("# BENCH/BASELINE — measured scaling evidence (rounds 1-4)\n")
+    lines.append("# BENCH/BASELINE — measured scaling evidence (rounds 1-5)\n")
     lines.append("""
 Protocol: BASELINE.md part 2 / north rule (BASELINE.json:14). The same
 five-sketch distributed build (Bloom m=2^21 k=8 B=512 s=8, HLL p=14,
@@ -161,11 +161,37 @@ per-ladder pairwise tables below list every pair's efficiency.
     except (OSError, ValueError):
         pass
 
+    # fast-epoch hunt evidence: if an epoch log exists, summarize what the
+    # host's epoch factor actually did while a gated hunter was armed — the
+    # honest record of whether a fast window EXISTED, separate from whether
+    # one was caught. Quiet samples only (loadavg < 2): a sample taken while
+    # our own bench/ladder legs ran reads high for self-inflicted reasons.
+    epoch_md = ""
+    try:
+        elog = []
+        for p in sorted(glob.glob(os.path.join(rs.REPO, "BENCH", "epoch_log_*.jsonl"))):
+            elog += [json.loads(l) for l in open(p)]
+        quiet = [e for e in elog if e.get("loadavg1", 99) < 2.0]
+        if quiet:
+            fs = sorted(e["epoch_factor"] for e in quiet)
+            span_h = (elog[-1]["ts"] - elog[0]["ts"]) / 3600.0
+            n_fast = sum(1 for f in fs if f <= 1.25)
+            epoch_md = (
+                f"\n- Fast-epoch availability (BENCH/epoch_log_*.jsonl, "
+                f"2-min cadence over {span_h:.1f} h, {len(quiet)} quiet "
+                f"samples of {len(elog)}): single-spin epoch factor "
+                f"min {fs[0]:.2f} / median {fs[len(fs)//2]:.2f} / "
+                f"max {fs[-1]:.2f}; {n_fast} samples at or below the 1.25 "
+                f"fast-epoch gate. The gated arrow 2->8 hunter fires "
+                f"automatically whenever the factor crosses the gate.\n")
+    except (OSError, ValueError, KeyError):
+        pass
+
     lines.append(f"""
 **Headline: eff = {eff1:.3f} >= 0.8 at the 1 -> 4 ladder**{extra_28}
 (the target the north rule sets). Higher ladders on THIS HOST are bounded
 by single-box physics, not by the pipeline:
-{probe_md}
+{probe_md}{epoch_md}
 - Round-2 fast-epoch ad-hoc probes (same method, now committed as
   bench/probe_host.py) read per-core spin 1.33x at 4 procs / 1.90x at 16 /
   2.53x at 32 and only ~7.4x aggregate bandwidth from 1 to 16 processes —
