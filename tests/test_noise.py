@@ -53,3 +53,21 @@ def test_pair_matched_rules():
     # legacy records without epoch fields fall back to the stored flag
     assert rs.pair_matched(dict(epoch_matched=True), dict(epoch_matched=True))
     assert not rs.pair_matched(dict(epoch_matched=True), dict())
+
+
+def test_read_spin_floor_formats(tmp_path):
+    """noise.read_spin_floor is THE single parser for spin_floor.json: both
+    the observation-list and legacy single-value formats parse; missing /
+    corrupt / non-positive files yield None (callers pick their fallback)."""
+    bench_dir = tmp_path / "BENCH"
+    bench_dir.mkdir()
+    f = bench_dir / "spin_floor.json"
+    f.write_text('{"spin_floor_ms": 20.5, "observations": [[1.0, 25.0], [2.0, 20.5]]}')
+    assert noise.read_spin_floor(str(tmp_path)) == 20.5
+    f.write_text('{"spin_floor_ms": 33.0}')  # legacy single-value
+    assert noise.read_spin_floor(str(tmp_path)) == 33.0
+    for corrupt in ('{"spin_floor_ms": 0}', "[1, 2]", "not json", "{}"):
+        f.write_text(corrupt)
+        assert noise.read_spin_floor(str(tmp_path)) is None
+    f.unlink()
+    assert noise.read_spin_floor(str(tmp_path)) is None
