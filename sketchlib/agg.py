@@ -433,12 +433,35 @@ def build_partials(
 
 
 def list_data_files(spark, path: str, suffix: str = ".parquet") -> list[str]:
-    """Recursive data-file listing via the Hadoop FileSystem API (works for
-    file:/, hdfs:/, s3a:/ URIs — same mechanism the scan itself would use).
-    For Iceberg tables at 100 TB the equivalent listing comes from the
-    metadata tables (``spark.read.format("iceberg").load("db.tbl.files")``)
-    instead of a directory walk; the sandbox has no Iceberg jar, so the
-    seam is this function."""
+    """Recursive data-file listing. Local paths walk the filesystem directly
+    (the py4j Hadoop iterator costs 3+ JVM round-trips PER FILE — measured
+    0.6-1.0 s for a 101-file corpus, charged to every build invocation);
+    remote schemes (hdfs:/, s3a:/) keep the Hadoop FileSystem API — the same
+    mechanism the scan itself would use. For Iceberg tables at 100 TB the
+    equivalent listing comes from the metadata tables
+    (``spark.read.format("iceberg").load("db.tbl.files")``) instead of a
+    directory walk; the sandbox has no Iceberg jar, so the seam is this
+    function."""
+    local = None
+    if path.startswith("file:"):
+        local = path[5:]
+        while local.startswith("//"):
+            local = local[1:]
+    elif "://" not in path:
+        local = path
+    if local is not None:
+        import os as _os
+
+        out = []
+        for root, _dirs, names in _os.walk(local):
+            for name in names:
+                if name.endswith(suffix):
+                    # "file:" + abspath is exactly what the Hadoop walk's
+                    # getPath().toString() emitted for local files — byte-
+                    # identical listings keep pinned checkpoint lineage
+                    # (job.FileJobSpec) valid across this fast path
+                    out.append("file:" + _os.path.abspath(_os.path.join(root, name)))
+        return sorted(out)
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
@@ -487,22 +510,59 @@ def build_partials_files(
         spark, list(enumerate(files)), specs, group_by, batch_size)
 
 
+# a python-exec task costs ~250 ms of JVM-side runner latency on the bench
+# host even when the worker does nothing (measured: 64 trivial mapInArrow
+# tasks = 0.56 s wall warm, in-worker time 20 ms) — so the scan stage wants
+# AT MOST one wave of tasks, and the task list must not itself be shipped
+# through a python-backed createDataFrame stage (another full wave).
+_MAX_CLOSURE_PATH_BYTES = 64 << 20
+
+
+def _merge_blob_rows(rows: list[dict]) -> dict:
+    """Merge partial rows of one (sketch, group) — the same fold
+    ``_merge_group`` applies, shared so the in-task pre-merge and the tree
+    merge cannot diverge. ``rows`` must be sorted by part id."""
+    blobs = [r["blob"] for r in rows]
+    name, _cfg, _ = blobmod.unpack(blobs[0])
+    module = MODULES[name]
+    merged = (module.merge_many_blobs(blobs)
+              if hasattr(module, "merge_many_blobs")
+              else reduce(module.merge_blobs, blobs))
+    return {
+        "sketch": rows[0]["sketch"],
+        "group": rows[0]["group"],
+        "part": min(r["part"] for r in rows),
+        "blob": merged,
+        "rows": sum(r["rows"] for r in rows),
+        "items": sum(r["items"] for r in rows),
+        "t_ms": sum(r["t_ms"] for r in rows),
+    }
+
+
 def build_partials_files_indexed(
     spark,
     pairs: list[tuple[int, str]],
     specs: list[SketchSpec],
     group_by: str | None = None,
     batch_size: int = 1 << 16,
+    local_merge: bool = False,
 ) -> DataFrame:
     """Fast-path partials over explicit ``(file_index, file_path)`` pairs —
     the resume seam: a checkpointed job re-runs only the missing file
-    indices while keeping their original lineage ids."""
+    indices while keeping their original lineage ids.
+
+    ``local_merge=True`` (the non-resume build path) folds each task's
+    per-file partials into one row per (sketch, group) before they leave the
+    task — byte-safe because the merge tree is shape-invariant (pinned by
+    ``test_merge_tree_multilevel_equivalence``); it shrinks the merge-stage
+    shuffle from one blob per FILE to one per TASK. Resume keeps per-file
+    rows (its lineage is the file index)."""
     if not specs:
         raise SketchConfigError("no sketch specs given")
     cols = sorted({s.col for s in specs} | ({group_by} if group_by else set()))
     inner = _build_partials_fn(specs, group_by, part_col=_FILE_PART)
 
-    def scan_fn(path_batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    def _scan_pairs(task_pairs) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
 
         def _open(fpath: str):
@@ -522,29 +582,73 @@ def build_partials_files_indexed(
                 return fsys.open_input_file(rel)
             return fpath
 
-        def gen() -> Iterator[pa.RecordBatch]:
-            for pb in path_batches:
-                idxs = pb.column("idx").to_pylist()
-                paths = pb.column("path").to_pylist()
-                for fidx, fpath in zip(idxs, paths):
-                    pf = pq.ParquetFile(_open(fpath))
-                    # use_threads=False: Spark already runs one task per
-                    # core; the default lets EVERY worker process spin
-                    # pyarrow's full cpu_count() decode pool (32 threads x
-                    # 32 tasks on the bench box) — measured slower even
-                    # solo, and oversubscription thrash on the wide legs
-                    for rb in pf.iter_batches(columns=cols, batch_size=batch_size,
-                                              use_threads=False):
-                        yield rb.append_column(
-                            _FILE_PART,
-                            pa.array(np.full(rb.num_rows, fidx, dtype=np.int64)))
-        yield from inner(gen())
+        for fidx, fpath in task_pairs:
+            pf = pq.ParquetFile(_open(fpath))
+            # use_threads=False: Spark already runs one task per
+            # core; the default lets EVERY worker process spin
+            # pyarrow's full cpu_count() decode pool (32 threads x
+            # 32 tasks on the bench box) — measured slower even
+            # solo, and oversubscription thrash on the wide legs
+            for rb in pf.iter_batches(columns=cols, batch_size=batch_size,
+                                      use_threads=False):
+                yield rb.append_column(
+                    _FILE_PART,
+                    pa.array(np.full(rb.num_rows, fidx, dtype=np.int64)))
 
-    n_tasks = min(len(pairs), int(spark.sparkContext.defaultParallelism) * 2)
-    paths_df = spark.createDataFrame(
-        [(int(i), f) for i, f in pairs], "idx long, path string"
-    ).repartition(n_tasks, "idx")
-    return paths_df.mapInArrow(scan_fn, PARTIAL_SCHEMA)
+    def _postprocess(partial_batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        if not local_merge:
+            yield from partial_batches
+            return
+        rows: list[dict] = []
+        for b in partial_batches:
+            rows.extend(b.to_pylist())
+        by_key: dict[tuple[str, str], list[dict]] = {}
+        for r in rows:  # arrive sorted by (sketch, group, part) already
+            by_key.setdefault((r["sketch"], r["group"]), []).append(r)
+        merged = [_merge_blob_rows(v) for v in by_key.values()]
+        if merged:
+            out = {k: [m[k] for m in merged] for k in
+                   ("sketch", "group", "part", "blob", "rows", "items", "t_ms")}
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema([
+                    ("sketch", pa.string()), ("group", pa.string()),
+                    ("part", pa.int32()), ("blob", pa.binary()),
+                    ("rows", pa.int64()), ("items", pa.int64()),
+                    ("t_ms", pa.float64()),
+                ]),
+            )
+
+    sorted_pairs = sorted((int(i), f) for i, f in pairs)
+    n_tasks = max(1, min(len(sorted_pairs), int(spark.sparkContext.defaultParallelism)))
+    path_bytes = sum(len(f) for _, f in sorted_pairs)
+    if path_bytes <= _MAX_CLOSURE_PATH_BYTES:
+        # ship the (small) file list inside the task closure and drive the
+        # scan with a JVM-only range source: no python paths-stage, no
+        # shuffle, exactly one balanced wave of contiguous file chunks
+        bounds = [round(j * len(sorted_pairs) / n_tasks) for j in range(n_tasks + 1)]
+        chunks = [sorted_pairs[bounds[j]:bounds[j + 1]] for j in range(n_tasks)]
+
+        def scan_fn(id_batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            def gen() -> Iterator[pa.RecordBatch]:
+                for pb in id_batches:
+                    for tid in pb.column("id").to_pylist():
+                        yield from _scan_pairs(chunks[tid])
+            yield from _postprocess(inner(gen()))
+
+        driver = spark.range(n_tasks, numPartitions=n_tasks)
+    else:
+        # millions of files: distribute the paths as data instead of closure
+        def scan_fn(path_batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            def gen() -> Iterator[pa.RecordBatch]:
+                for pb in path_batches:
+                    yield from _scan_pairs(
+                        zip(pb.column("idx").to_pylist(), pb.column("path").to_pylist()))
+            yield from _postprocess(inner(gen()))
+
+        driver = spark.createDataFrame(
+            sorted_pairs, "idx long, path string").repartition(n_tasks, "idx")
+    return driver.mapInArrow(scan_fn, PARTIAL_SCHEMA)
 
 
 def build_sketches_files(
@@ -560,10 +664,13 @@ def build_sketches_files(
     object stores with concurrent writers)."""
     files = list_data_files(spark, path) if isinstance(path, str) else sorted(path)
     partials = build_partials_files_indexed(
-        spark, list(enumerate(files)), specs, group_by)
+        spark, list(enumerate(files)), specs, group_by, local_merge=True)
     fanout = fanout or _auto_fanout(specs)
+    # local_merge leaves at most one partial per (task, sketch, group); size
+    # the tree for that count, not the file count (byte-identical either way)
+    n_parts = max(1, min(len(files), int(spark.sparkContext.defaultParallelism)))
     return merge_partials(partials, fanout=fanout,
-                          levels=merge_levels(fanout, len(files)))
+                          levels=merge_levels(fanout, n_parts))
 
 
 def _merge_group(pdf):
