@@ -163,12 +163,38 @@ def minhash_signatures(
     return df.select(id_col, text_col).mapInArrow(fn, schema)
 
 
+def _bucket_pairs(capped: DataFrame, keys: list[str], payload: list[str]) -> DataFrame:
+    """Ordered within-bucket pairs from a thinned bucket table: ONE shuffle
+    (groupBy collect_list) + a JVM higher-order pair expansion, replacing the
+    former self-join on the bucket keys (which shuffled the full bucket table
+    TWICE — once per join side — plus a join stage). Buckets are already
+    capped, so a collected bucket holds <= ~2x max_bucket members.
+
+    ``payload`` columns ride along inside the collected struct (e.g. the
+    simhash value the verifier needs). Pair order is (a, b) with a < b by
+    value — identical to the old ``a.join(b).filter(a < b)`` output."""
+    member = F.struct(*[F.col(c) for c in payload])
+    grouped = capped.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(member)).alias("_ms"))
+    ms = F.col("_ms")
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.size(ms)),
+                lambda y: F.struct(x.alias("_x"), y.alias("_y")),
+            ),
+        )
+    )
+    return grouped.select(F.explode(pairs).alias("_p")).select("_p._x", "_p._y")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str = "doc_id",
     bands: int = 32, rows_per_band: int = 4, max_bucket: int = 200,
 ) -> DataFrame:
-    """Band the signatures and self-join on (band, band_hash). Returns
-    distinct candidate (a, b) pairs with a < b. ``bands * rows_per_band``
+    """Band the signatures and emit distinct candidate (a, b) pairs with
+    a < b from every (band, band_hash) bucket. ``bands * rows_per_band``
     must equal the signature length.
 
     Pathological buckets (all-identical corpora) are capped WITHOUT a global
@@ -177,19 +203,26 @@ def lsh_candidate_pairs(
     to ~``max_bucket`` by a deterministic hash sample. (The previous
     ``row_number`` window sorted the entire banded table — num_docs x bands
     rows — in one shuffle, the pipeline's biggest cost at corpus scale;
-    normal-sized buckets now never shuffle for the cap at all.)"""
-    band_exprs = [
-        F.xxhash64(
-            F.lit(b), *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
-        ).alias(f"_b{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(F.col(id_col), *band_exprs)
-    stacked = banded.select(
-        id_col,
-        F.explode(F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"_b{b}").alias("h"))
-                            for b in range(bands)])).alias("bh"),
-    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    normal-sized buckets now never shuffle for the cap at all.)
+
+    Pairs come from one ``collect_list`` aggregation per bucket
+    (:func:`_bucket_pairs`) rather than a self-join — the banded table is
+    shuffled once, not twice, and there is no join stage; memory per bucket
+    is bounded by the cap."""
+    # one small higher-order expression instead of 32 materialized band
+    # columns + an explode over 32 structs: the old form built a ~300-node
+    # expression tree that Catalyst re-optimized on every AQE replan (a
+    # measurable slice of the pipeline's driver time); the hash values are
+    # bit-identical (same xxhash64 over (int band, rows_per_band bigints))
+    sig = F.col("signature")
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            b, *[F.get(sig, b * rows_per_band + F.lit(r)) for r in range(rows_per_band)]
+        ),
+    )
+    stacked = sigs.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "h"))
     oversized = (
         stacked.groupBy("band", "h").agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > max_bucket)
@@ -203,11 +236,49 @@ def lsh_candidate_pairs(
         )
         .drop("_n")
     )
-    a = capped.select(F.col(id_col).alias("a"), "band", "h")
-    b = capped.select(F.col(id_col).alias("b"), "band", "h")
     return (
-        a.join(b, on=["band", "h"]).filter(F.col("a") < F.col("b"))
-        .select("a", "b").distinct()
+        _bucket_pairs(capped, ["band", "h"], [id_col])
+        .select(F.col(f"_x.{id_col}").alias("a"), F.col(f"_y.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+# inputs whose Catalyst size estimate is below this are "small": signature
+# recomputation per plan branch is cheaper than a cache barrier, and the
+# signature table provably fits a broadcast (estimate is the raw text bytes;
+# 128-slot signatures are within ~4x of 300-byte docs). Large corpora keep
+# the cache + shuffle joins — the 100 TB shape.
+_SMALL_INPUT_BYTES = 32 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a plan (bytes) — free (no job); for a
+    bare file scan it is the file-size sum. Used only for conservative
+    broadcast decisions, never for results."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
+def _verify_candidate_pairs(
+    sigs: DataFrame, cands: DataFrame, id_col: str,
+    num_perm: int, threshold: float, small_input: bool,
+) -> DataFrame:
+    """Slot-agreement verification of candidate pairs against the full
+    signatures; emits (a, b, jaccard_est) for pairs >= threshold.
+    ``small_input`` (decided from the input plan's size estimate, no job)
+    switches the two signature joins to broadcast hash joins."""
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
+    if small_input:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    joined = cands.join(sa, "a").join(sb, "b")
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return (
+        joined.withColumn("jaccard_est", agree / F.lit(num_perm))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("a", "b", "jaccard_est")
     )
 
 
@@ -219,17 +290,15 @@ def minhash_near_duplicates(
     """Full near-dup pipeline: signatures → LSH candidates → Jaccard-estimate
     verification (slot agreement on the full signatures) → pairs >= threshold."""
     rows_per_band = num_perm // bands
+    # size-adaptive join strategy (plan stats, no job): a provably small
+    # input broadcasts the signature table into the verification joins;
+    # large corpora keep the shuffle joins. (Skipping the cache for small
+    # inputs was measured SLOWER — 3 recomputed scan+signature branches cost
+    # more than the one cache barrier — so the cache is unconditional.)
+    small = _plan_size_bytes(df.select(id_col, text_col)) <= _SMALL_INPUT_BYTES
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n).cache()
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    sa = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
-    joined = cands.join(sa, "a").join(sb, "b")
-    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-    return (
-        joined.withColumn("jaccard_est", agree / F.lit(num_perm))
-        .filter(F.col("jaccard_est") >= threshold)
-        .select("a", "b", "jaccard_est")
-    )
+    return _verify_candidate_pairs(sigs, cands, id_col, num_perm, threshold, small)
 
 
 def token_minhash_signatures(
@@ -272,17 +341,10 @@ def token_near_duplicates(
     """MinHash-LSH near-dup over token arrays: signatures → band-bucket join
     → slot-agreement verification (same machinery as the text pipeline)."""
     rows_per_band = num_perm // bands
+    small = _plan_size_bytes(df.select(id_col, tokens_col)) <= _SMALL_INPUT_BYTES
     sigs = token_minhash_signatures(df, tokens_col, id_col, num_perm, shingle_n).cache()
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    sa = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
-    joined = cands.join(sa, "a").join(sb, "b")
-    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-    return (
-        joined.withColumn("jaccard_est", agree / F.lit(num_perm))
-        .filter(F.col("jaccard_est") >= threshold)
-        .select("a", "b", "jaccard_est")
-    )
+    return _verify_candidate_pairs(sigs, cands, id_col, num_perm, threshold, small)
 
 
 # ---------------------------------------------------------------------------
@@ -368,11 +430,11 @@ def simhash_near_duplicates(
         )
         .drop("_n")
     )
-    a = stacked.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "band", "v")
-    b = stacked.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "band", "v")
     pairs = (
-        a.join(b, ["band", "v"]).filter(F.col("a") < F.col("b"))
-        .select("a", "b", "ha", "hb").distinct()
+        _bucket_pairs(stacked, ["band", "v"], [id_col, "simhash"])
+        .select(F.col(f"_x.{id_col}").alias("a"), F.col(f"_y.{id_col}").alias("b"),
+                F.col("_x.simhash").alias("ha"), F.col("_y.simhash").alias("hb"))
+        .distinct()
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return pairs.withColumn("hamming", hamming).filter(

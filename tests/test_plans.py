@@ -94,18 +94,19 @@ def test_probe_ships_only_key_column_to_python(spark, corpus_path):
 
 
 def test_file_scan_fast_path_shuffles_only_file_paths(spark, corpus_path):
-    """The Arrow file-scan build's only exchange is the repartition of the
-    tiny (idx, path) table — the token data itself never shuffles (it is
-    decoded inside the task that owns the file)."""
+    """The Arrow file-scan build shuffles NO data at all in its scan stage:
+    the file list rides in the task closure over a JVM range driver (one
+    balanced wave of tasks), and the token data is decoded inside the task
+    that owns the file. (Before round 6 the plan had one exchange for a tiny
+    (idx, path) table plus a python-backed createDataFrame stage.)"""
     from sketchlib import agg
     from sketchlib.config import HLLConfig
 
     partials = agg.build_partials_files(
         spark, corpus_path, [agg.SketchSpec("hll", HLLConfig(p=10), "tokens")])
     plan = _plan(partials)
-    # one exchange (node + its plan-detail echo) carrying the path table
-    assert plan.count("Exchange") <= 2, plan
-    assert "idx" in plan and "path" in plan
+    assert "Exchange" not in plan, plan
+    assert "Range" in plan, plan
 
 
 def test_approx_topk_single_input_scan(spark, corpus_path):
