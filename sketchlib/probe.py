@@ -26,9 +26,30 @@ from sketchlib import arrowutil, blob as blobmod, bloom, cms, cuckoo, kll
 from sketchlib.config import SketchConfigError
 
 
+def _coalesce_for_probe(df: DataFrame) -> DataFrame:
+    """Pack a many-small-partition input into fewer probe tasks: every
+    python-exec task costs ~250 ms of JVM runner latency regardless of size,
+    so a 101-file corpus probed at one-file-per-task pays 4 waves of pure
+    overhead. Target = max(default parallelism, input_bytes / 128 MB) — a
+    100 TB table keeps its thousands of partitions, a small one collapses to
+    one wave. coalesce() is a narrow dependency: no shuffle, no row movement
+    across workers beyond task packing, so results are unchanged."""
+    try:
+        current = df.rdd.getNumPartitions()
+        sc = df.sparkSession.sparkContext
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        want = max(int(sc.defaultParallelism), size // (128 << 20))
+        if current > want:
+            return df.coalesce(want)
+    except Exception:
+        pass
+    return df
+
+
 def _append_col_map(df: DataFrame, blob: bytes, col: str, out: str, kernel, out_type,
                     array_mode: str = "all"):
     spark = df.sparkSession
+    df = _coalesce_for_probe(df)
     bc = spark.sparkContext.broadcast(blob)
 
     def probe(arr: pa.Array) -> pa.Array:
