@@ -44,7 +44,15 @@ def sample(floor: float) -> dict:
 def main() -> None:
     duration_s = int(sys.argv[1]) if len(sys.argv) > 1 else 18000
     interval_s = int(sys.argv[2]) if len(sys.argv) > 2 else 120
-    floor = rs.spin_floor()
+    # anchor to the PERSISTED floor, never a fresh spin: a floorless host
+    # would otherwise report epoch_factor ~1.0 no matter how slow it runs,
+    # which defeats the log's purpose (evidence that a fast window existed)
+    import noise
+    floor = noise.read_spin_floor(rs.REPO)
+    if floor is None:
+        sys.exit("epoch_log: no persisted spin floor (BENCH/spin_floor.json) — "
+                 "run bench.py once to establish it; refusing to log "
+                 "current-epoch-anchored factors")
     deadline = time.time() + duration_s
     while time.time() < deadline:
         rec = sample(floor)

@@ -49,8 +49,9 @@ def read_spin_floor(repo: str) -> float | None:
             obs = [float(data["spin_floor_ms"])]
         floor = min(obs)
         return floor if floor > 0 else None
-    except (OSError, ValueError, KeyError, TypeError, AttributeError):
-        # AttributeError: a JSON top-level list has no .get
+    except (OSError, ValueError, KeyError, TypeError, AttributeError, IndexError):
+        # AttributeError: a JSON top-level list has no .get;
+        # IndexError: a malformed observations entry like [[]] (o[1] missing)
         return None
 
 

@@ -246,6 +246,16 @@ def with_bloom_membership_sql(df: DataFrame, blob: bytes, col: str,
     # F.lit(ndarray) becomes a single java long[] Literal.
     words_lit = F.lit(words)
 
+    # integral key columns only: cast('long') on a double/decimal would
+    # silently truncate fractions BEFORE the uint32 range guard (key 5.7
+    # probing as 5), diverging from the NumPy kernel's _as_keys contract
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    key_type = df.schema[col].dataType
+    if not isinstance(key_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise SketchConfigError(
+            f"with_bloom_membership_sql requires an integral key column; "
+            f"{col!r} is {key_type.simpleString()}")
     key = F.col(col).cast("long")
     guard = F.assert_true(
         key.isNull() | ((key >= 0) & (key <= 0xFFFFFFFF)),

@@ -66,7 +66,9 @@ def test_read_spin_floor_formats(tmp_path):
     assert noise.read_spin_floor(str(tmp_path)) == 20.5
     f.write_text('{"spin_floor_ms": 33.0}')  # legacy single-value
     assert noise.read_spin_floor(str(tmp_path)) == 33.0
-    for corrupt in ('{"spin_floor_ms": 0}', "[1, 2]", "not json", "{}"):
+    for corrupt in ('{"spin_floor_ms": 0}', "[1, 2]", "not json", "{}",
+                    '{"observations": [[]]}',        # malformed entry: o[1] raises IndexError
+                    '{"observations": [[1.0]]}'):    # ditto, one-element entry
         f.write_text(corrupt)
         assert noise.read_spin_floor(str(tmp_path)) is None
     f.unlink()

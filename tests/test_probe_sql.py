@@ -60,10 +60,28 @@ def test_sql_probe_rejects_mix_family_and_huge_filters(spark):
                       BloomConfig(m_bits=1 << 14, k=4, hash_family="mix"))
     with pytest.raises(SketchConfigError, match="mul"):
         probe.with_bloom_membership_sql(df, mix, "key")
-    # over-ceiling config is rejected WITHOUT building a huge filter: fake
-    # the cfg via a tiny blob then patch m_bits is not possible (frozen), so
-    # just assert the constant is enforced through a real small-over build
     assert probe._SQL_PROBE_MAX_BITS == 1 << 27
+    # exercise the ceiling guard with a REAL over-ceiling blob: pack an
+    # m_bits=2**28 config with a zero payload (the guard fires before the
+    # payload is touched, so it need not be populated)
+    from sketchlib import blob as blobmod
+
+    big_cfg = BloomConfig(m_bits=1 << 28, k=4, addressing="magic")
+    big_blob = blobmod.pack("bloom", big_cfg, b"\x00" * 16)
+    with pytest.raises(SketchConfigError, match="m_bits"):
+        probe.with_bloom_membership_sql(df, big_blob, "key")
+
+
+def test_sql_probe_rejects_non_integral_key_column(spark):
+    """A double key would silently truncate through cast('long') before the
+    range guard (5.7 probing as 5) — rejected up front instead."""
+    cfg = BloomConfig(m_bits=1 << 14, k=4)
+    blob = bloom.build(np.arange(100, dtype=np.uint64), cfg)
+    df = spark.range(10).select((F.col("id") + 0.5).alias("key"))
+    with pytest.raises(SketchConfigError, match="integral"):
+        probe.with_bloom_membership_sql(df, blob, "key")
+    ints = spark.range(10).select(F.col("id").cast("int").alias("key"))
+    assert probe.with_bloom_membership_sql(ints, blob, "key").count() == 10
 
 
 def test_sql_probe_plan_has_no_python_worker(spark):
