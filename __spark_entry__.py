@@ -22,8 +22,19 @@ from pyspark.sql import DataFrame, Row, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 
+_T_PLANS: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table reader with a per-session PLAN cache: ``spark.read.parquet``
+    re-lists the path and re-reads the footer schema on every call (~50-100
+    ms per table per query). A DataFrame is an immutable lazy plan — reusing
+    it never caches data; every action still computes from the parquet files."""
+    key = (id(spark), sf_dir, name)
+    df = _T_PLANS.get(key)
+    if df is None:
+        df = _T_PLANS[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df
 
 
 def _dec(col, scale: int = 4):
