@@ -296,7 +296,13 @@ def minhash_near_duplicates(
     # inputs was measured SLOWER — 3 recomputed scan+signature branches cost
     # more than the one cache barrier — so the cache is unconditional.)
     small = _plan_size_bytes(df.select(id_col, text_col)) <= _SMALL_INPUT_BYTES
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n).cache()
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    # small input: eager localCheckpoint materializes the signatures ONCE in
+    # block storage (no columnar cache encode, no 4-branch materialization
+    # race, lineage truncated so AQE replans a smaller tree — measured -0.4 s
+    # cold); large corpora keep cache(), whose retained lineage recomputes
+    # lost partitions on executor failure.
+    sigs = sigs.localCheckpoint(eager=True) if small else sigs.cache()
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     return _verify_candidate_pairs(sigs, cands, id_col, num_perm, threshold, small)
 
@@ -342,7 +348,8 @@ def token_near_duplicates(
     → slot-agreement verification (same machinery as the text pipeline)."""
     rows_per_band = num_perm // bands
     small = _plan_size_bytes(df.select(id_col, tokens_col)) <= _SMALL_INPUT_BYTES
-    sigs = token_minhash_signatures(df, tokens_col, id_col, num_perm, shingle_n).cache()
+    sigs = token_minhash_signatures(df, tokens_col, id_col, num_perm, shingle_n)
+    sigs = sigs.localCheckpoint(eager=True) if small else sigs.cache()
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     return _verify_candidate_pairs(sigs, cands, id_col, num_perm, threshold, small)
 
@@ -406,7 +413,10 @@ def simhash_near_duplicates(
     all 4 of the same (band, v) buckets, and an uncapped self-join goes
     quadratic on those single keys. Only oversized-bucket KEYS are broadcast;
     members are thinned by a deterministic hash sample."""
-    sh = simhash(df, text_col, id_col).cache()
+    sh = simhash(df, text_col, id_col)
+    sh = (sh.localCheckpoint(eager=True)
+          if _plan_size_bytes(df.select(id_col, text_col)) <= _SMALL_INPUT_BYTES
+          else sh.cache())
     bands = [
         F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"_s{b}")
         for b in range(4)
