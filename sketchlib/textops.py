@@ -21,10 +21,11 @@ Scale notes:
 
 from __future__ import annotations
 
+import sys
+
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
@@ -62,7 +63,12 @@ def _word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     dictionary encode, so Python touches only the *distinct* words."""
     import pyarrow.compute as pc
 
-    if isinstance(texts, pd.Series):
+    # pandas deliberately not imported at module level: this module is what
+    # cold python workers import for the signature/langid/fingerprint kernels,
+    # and pandas costs ~0.22 s per worker. A pd.Series argument can only
+    # exist if the caller's process already imported pandas.
+    pd = sys.modules.get("pandas")
+    if pd is not None and isinstance(texts, pd.Series):
         arr = pa.array(texts.fillna(""), type=pa.string())
     else:
         arr = texts if not isinstance(texts, pa.ChunkedArray) else texts.combine_chunks()
