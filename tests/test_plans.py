@@ -161,3 +161,24 @@ def test_near_dup_joins_never_cartesian(spark):
     for name, plan in plans.items():
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_chained_probes_fuse_into_one_python_node(spark, corpus_path):
+    """Independent membership probes over the same key column must collapse
+    into ONE ArrowEvalPython node (Catalyst batches independent arrow UDFs),
+    so a multi-config probe pass — sk_bloom_fpr_grid chains nine — costs one
+    python round trip per batch instead of one node (and one job) per config."""
+    import numpy as np
+    from sketchlib import bloom, fpr, probe
+
+    df = spark.read.parquet(corpus_path).select("n_tok")
+    for i in range(3):
+        keys = np.arange(1000 * (i + 1), dtype=np.int32)
+        blob = bloom.build(keys, fpr.suggest_config(len(keys), 0.01))
+        df = probe.with_bloom_membership(df, blob, "n_tok", f"_m{i}")
+    agg_df = df.agg(*[F.count(F.when(F.col(f"_m{i}"), 1)).alias(f"c{i}")
+                      for i in range(3)])
+    plan = agg_df._jdf.queryExecution().executedPlan().toString()
+    eval_lines = [ln for ln in plan.splitlines() if "ArrowEvalPython" in ln]
+    assert len(eval_lines) == 1, plan
+    assert eval_lines[0].count("probe(") == 3, eval_lines[0]

@@ -483,3 +483,18 @@ def test_embedding_near_dup_distinct_carries_ids_only(vectors):
     assert agg_lines, plan
     for ln in agg_lines:
         assert "_va" not in ln and "_vb" not in ln, ln
+
+
+def test_textops_importable_without_pandas():
+    """The signature/langid/fingerprint kernels run in cold python workers;
+    a module-level pandas import would charge every worker ~0.22 s of
+    startup. Pin that importing textops does not pull pandas."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; import sketchlib.textops; "
+        "sys.exit(1 if 'pandas' in sys.modules else 0)"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], cwd="/root/repo")
+    assert proc.returncode == 0
