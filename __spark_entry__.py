@@ -376,10 +376,26 @@ def q22_set_ops(spark, sf_dir):
     types = [r["event_type"] for r in
              e.groupBy("event_type").count().orderBy(F.desc("count"), "event_type").collect()]
     hi, lo = types[0], types[-1]
-    u_hi = e.filter(F.col("event_type") == hi).select("user_id").distinct()
-    u_lo = e.filter(F.col("event_type") == lo).select("user_id").distinct()
-    both = u_hi.intersect(u_lo).count()
-    only_hi = u_hi.exceptAll(u_hi.intersect(u_lo)).count()
+    # one aggregation job instead of three set-op jobs (the old
+    # intersect/exceptAll form recomputed the intersect subtree and shuffled
+    # each distinct side per action). Equivalence: u_hi/u_lo are DISTINCT
+    # user sets, so |u_hi ∩ u_lo| = #users with both flags and
+    # |u_hi exceptAll (u_hi ∩ u_lo)| = #users with hi but not lo; per-user
+    # max-flags then two sums compute exactly those cardinalities (null
+    # user_ids form one group, matching null-safe set-op equality; hi == lo
+    # degenerates to both = |u_hi|, only_hi = 0 in both forms).
+    flags = (
+        e.filter(F.col("event_type").isin(hi, lo))
+        .groupBy("user_id")
+        .agg(F.max(F.when(F.col("event_type") == hi, 1).otherwise(0)).alias("_h"),
+             F.max(F.when(F.col("event_type") == lo, 1).otherwise(0)).alias("_l"))
+    )
+    counts = flags.agg(
+        F.sum(F.col("_h") * F.col("_l")).alias("_both"),
+        F.sum(F.col("_h") * (1 - F.col("_l"))).alias("_only"),
+    ).collect()[0]
+    both = int(counts["_both"] or 0)
+    only_hi = int(counts["_only"] or 0)
     return spark.createDataFrame(
         [Row(hi_type=hi, lo_type=lo, users_both=both, users_only_hi=only_hi)]
     )

@@ -275,12 +275,24 @@ def _verify_candidate_pairs(
     signatures; emits (a, b, jaccard_est) for pairs >= threshold.
     ``small_input`` (decided from the input plan's size estimate, no job)
     switches the two signature joins to broadcast hash joins."""
-    sa = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
     if small_input:
-        sa, sb = F.broadcast(sa), F.broadcast(sb)
-    joined = cands.join(sa, "a").join(sb, "b")
-    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        # both join sides broadcast the SAME projection (rename above the
+        # exchange, not below): the two BroadcastExchange children
+        # canonicalize identically, so the second join reuses the first
+        # build (ReusedExchange) — one broadcast materialization job
+        # instead of two. Rows unchanged: same inner equi-joins.
+        base = F.broadcast(sigs.select(id_col, "signature"))
+        joined = (
+            cands.join(base.alias("_sa"), F.col("a") == F.col(f"_sa.{id_col}"))
+            .join(base.alias("_sb"), F.col("b") == F.col(f"_sb.{id_col}"))
+        )
+        sig_a, sig_b = F.col("_sa.signature"), F.col("_sb.signature")
+    else:
+        sa = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
+        sb = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
+        joined = cands.join(sa, "a").join(sb, "b")
+        sig_a, sig_b = F.col("sig_a"), F.col("sig_b")
+    agree = F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v))
     return (
         joined.withColumn("jaccard_est", agree / F.lit(num_perm))
         .filter(F.col("jaccard_est") >= threshold)
