@@ -887,7 +887,11 @@ def sk_token_near_dups(spark, sf_dir):
         corpus.orderBy("doc_id").limit(5)
         .select(F.concat(F.lit("dup_of_"), F.col("doc_id")).alias("doc_id"), "tokens")
     )
-    both = corpus.select("doc_id", "tokens").unionByName(dups)
+    # materialize the generated fixture once: every un-materialized branch
+    # of the dedup plan (signatures, dup sort, verify joins) would otherwise
+    # re-run the python generation stage; rows are deterministic (seed 42)
+    # and every invocation still generates from scratch
+    both = corpus.select("doc_id", "tokens").unionByName(dups).localCheckpoint(eager=True)
     pairs = textops.token_near_duplicates(both, num_perm=128, bands=32, threshold=0.8)
     return pairs.orderBy("a", "b")
 

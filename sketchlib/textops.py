@@ -478,6 +478,20 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
     """Exact shingle-set Jaccard for given (a, b) pairs — the verifier behind
     the MinHash estimate. Uses Spark array ops (JVM-side)."""
+    # materialize the pair list once: callers typically pass the
+    # un-materialized output of a full LSH pipeline, and the plan below
+    # references it three times (two id prunes + the final join)
+    pairs = pairs.localCheckpoint(eager=True)
+    # shingle only documents that appear in some pair (guide §3: reduce the
+    # big side before the join) — the inner joins below drop every other
+    # document anyway, so rows are unchanged; the gram computation is the
+    # pipeline's dominant term when pairs cover few docs
+    pair_ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .union(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    df = df.join(pair_ids, id_col, "left_semi")
     # try_element_at, not element_at: under Spark 4's default ANSI mode an
     # out-of-bounds element_at aborts the job, and docs shorter than
     # shingle_n index past the words array (their single gram is the whole
