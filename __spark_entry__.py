@@ -563,9 +563,7 @@ def sk_bloom_fpr_grid(spark, sf_dir):
         .select((F.pmod(F.xxhash64("id", F.lit(7)), F.lit(2**31 - 2**22)) + 2**22)
                 .cast("int").alias("t"))
         .join(keys_df, F.col("t") == F.col("l_partkey"), "left_anti")
-        .cache()
     )
-    n_probes = probes.count()
     # ONE probe pass per table instead of one per (config, table): the 9
     # membership columns are independent arrow UDFs over the same key column,
     # so Catalyst fuses them into a single ArrowEvalPython node and one
@@ -582,21 +580,24 @@ def sk_bloom_fpr_grid(spark, sf_dir):
     fn_counts = kdf.agg(
         *[F.count(F.when(~F.col(f"_m{i}"), 1)).alias(f"c{i}") for i in range(len(names))]
     ).collect()[0]
+    # the probe-set size rides the same aggregation (count(*) column), so
+    # the probe table is scanned once — no cache, no separate count job
     fp_counts = pdf.agg(
+        F.count(F.lit(1)).alias("np"),
         *[F.count(F.when(F.col(f"_m{i}"), 1)).alias(f"c{i}") for i in range(len(names))]
     ).collect()[0]
+    n_probes = fp_counts["np"]
     rows = []
     for i, name in enumerate(names):
         cfg, bits_per_key = cfgs[name]
         rows.append(Row(
             geometry=f"B{cfg.block_bits}/s{cfg.sectors}/z{cfg.zones}/k{cfg.k}/{cfg.addressing}",
             bits_per_key=bits_per_key, n_keys=int(n),
-            false_negatives=int(fn_counts[i]),
-            empirical_fpr=float(fp_counts[i]) / max(n_probes, 1),
+            false_negatives=int(fn_counts[f"c{i}"]),
+            empirical_fpr=float(fp_counts[f"c{i}"]) / max(n_probes, 1),
             analytic_fpr=float(fprmod.fpr(cfg, n)),
         ))
     keys_df.unpersist()
-    probes.unpersist()
     return spark.createDataFrame(rows)
 
 
@@ -975,10 +976,16 @@ def sk_cuckoo_membership(spark, sf_dir):
         .select((F.pmod(F.xxhash64("id", F.lit(11)), F.lit(2**31 - 2**22)) + 2**22)
                 .cast("long").alias("t"))
         .join(keys_df, F.col("t") == F.col("l_partkey"), "left_anti")
-        .cache()
     )
-    n_probes = probes.count()
-    fp = probemod.with_cuckoo_membership(probes, blob, "t").filter("member").count()
+    # probe-set size and FP count from ONE aggregation over one probe pass
+    # (no cache, no separate count job); values unchanged
+    fp_row = (
+        probemod.with_cuckoo_membership(probes, blob, "t")
+        .agg(F.count(F.lit(1)).alias("np"),
+             F.count(F.when(F.col("member"), 1)).alias("fp"))
+        .collect()[0]
+    )
+    n_probes, fp = fp_row["np"], fp_row["fp"]
     f = CuckooFilter.from_blob(blob)
     row = Row(
         n_keys=int(n), false_negatives=int(fn),
@@ -988,7 +995,6 @@ def sk_cuckoo_membership(spark, sf_dir):
         table_kb=float(f.cfg.capacity * 2) / 1024.0,
     )
     keys_df.unpersist()
-    probes.unpersist()
     return spark.createDataFrame([row])
 
 

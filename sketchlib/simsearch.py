@@ -204,6 +204,16 @@ def embedding_near_duplicates(
         fn, f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
             f"{vec_col} {df.schema[vec_col].dataType.simpleString()}, {sig_cols}"
     )
+    # materialize the signature pass once: every branch below (bucket-size
+    # aggregate, capped table, both verify sides) would otherwise re-run the
+    # scan + python signature stage. Same small/large policy as the
+    # MinHash-LSH path: provably small inputs eager-checkpoint and broadcast
+    # the verify sides; large corpora cache (lineage retained) and keep
+    # shuffle joins.
+    from sketchlib.textops import _SMALL_INPUT_BYTES, _plan_size_bytes
+
+    small = _plan_size_bytes(df.select(id_col, vec_col)) <= _SMALL_INPUT_BYTES
+    signed = signed.localCheckpoint(eager=True) if small else signed.cache()
     stacked = signed.select(
         id_col, vec_col,
         F.explode(F.array(*[
@@ -231,18 +241,31 @@ def embedding_near_duplicates(
         a.join(b, ["tbl", "h"]).filter(F.col("a") < F.col("b"))
         .select("a", "b").distinct()
     )
-    vecs = df.select(id_col, vec_col)
-    cands = (
-        pair_ids
-        .join(vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va")), "a")
-        .join(vecs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")), "b")
-    )
-    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
+    # the signature pass carries id and vector through untouched, so the
+    # verify vectors come from the materialized table, not a fresh scan
+    vecs = signed.select(id_col, vec_col)
+    if small:
+        # one broadcast projection for both sides (rename above the
+        # exchange): the second join reuses the first build (ReusedExchange)
+        base = F.broadcast(vecs)
+        cands = (
+            pair_ids.join(base.alias("_ta"), F.col("a") == F.col(f"_ta.{id_col}"))
+            .join(base.alias("_tb"), F.col("b") == F.col(f"_tb.{id_col}"))
+        )
+        va, vb = F.col(f"_ta.{vec_col}"), F.col(f"_tb.{vec_col}")
+    else:
+        cands = (
+            pair_ids
+            .join(vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va")), "a")
+            .join(vecs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")), "b")
+        )
+        va, vb = F.col("_va"), F.col("_vb")
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     return (
-        cands.withColumn("cosine", dot / (norm("_va") * norm("_vb") + F.lit(1e-30)))
+        cands.withColumn("cosine", dot / (norm(va) * norm(vb) + F.lit(1e-30)))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
