@@ -555,7 +555,12 @@ def sk_bloom_fpr_grid(spark, sf_dir):
     )
 
     specs = [agg.SketchSpec(name, cfg, "l_partkey") for name, (cfg, _) in cfgs.items()]
-    blobs = agg.collect_blobs(agg.build_sketches(li, specs))
+    # Arrow file-scan build engine: Bloom partials OR-merge, so the final
+    # blobs are byte-identical under ANY partial layout (T4, pinned by the
+    # cross-engine equality test) — the fast engine is safe here, unlike for
+    # the order-sensitive kll/tdigest builds
+    blobs = agg.collect_blobs(
+        agg.build_sketches_files(spark, f"{sf_dir}/lineitem.parquet", specs))
 
     # deterministic distributed probe set, disjoint from the key set by anti-join
     probes = (

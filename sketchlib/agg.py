@@ -452,6 +452,11 @@ def list_data_files(spark, path: str, suffix: str = ".parquet") -> list[str]:
     if local is not None:
         import os as _os
 
+        # a plain-file path (single-file table, e.g. lineitem.parquet) lists
+        # as itself — os.walk would silently return nothing for it, and the
+        # Hadoop listFiles branch below handles files fine
+        if _os.path.isfile(local):
+            return ["file:" + _os.path.abspath(local)] if local.endswith(suffix) else []
         out = []
         for root, _dirs, names in _os.walk(local):
             for name in names:
