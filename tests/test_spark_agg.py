@@ -401,3 +401,45 @@ def test_null_group_values_numeric_column(spark):
     assert set(out2) == {("cms", "1"), ("cms", agg.NULL_GROUP)}
     est1 = cms.query_blob(np.array([1, 3]), out2[("cms", "1")])
     assert int(est1[0]) == 1 and int(est1[1]) == 1
+
+
+def test_list_data_files_plain_file_path(spark, tmp_path):
+    """A single-file table path lists as itself (os.walk returned [] for a
+    non-directory, silently yielding an empty build)."""
+    d = str(tmp_path / "single")
+    datagen.corpus_df(spark, 100, partitions=1).write.mode("overwrite").parquet(d)
+    inner = agg.list_data_files(spark, d)
+    assert len(inner) == 1
+    plain = inner[0][len("file:"):]
+    assert agg.list_data_files(spark, plain) == inner
+    assert agg.list_data_files(spark, plain, suffix=".orc") == []
+
+
+def test_file_scan_build_plain_file_matches_directory(spark, tmp_path):
+    """build_sketches_files over the bare data file == over its directory
+    (Bloom blobs are OR-merge layout-invariant)."""
+    d = str(tmp_path / "single2")
+    datagen.corpus_df(spark, 500, partitions=1).write.mode("overwrite").parquet(d)
+    f = agg.list_data_files(spark, d)[0]
+    spec = [agg.SketchSpec("bloom", BloomConfig(
+        m_bits=1 << 16, k=4, word_bits=64, words_per_block=8, sectors=1), "tokens")]
+    via_dir = agg.collect_blobs(agg.build_sketches_files(spark, d, spec))
+    via_file = agg.collect_blobs(agg.build_sketches_files(spark, f, spec))
+    assert via_dir == via_file
+
+
+def test_probe_chain_marks_output_and_skips_recoalesce(spark, corpus):
+    """Chained probes skip the per-call partition-count read: the probe
+    output carries the packed marker and passes through the coalesce helper
+    untouched (the input is already packed; withColumn cannot change it)."""
+    spec = [agg.SketchSpec("bloom", BloomConfig(
+        m_bits=1 << 18, k=4, word_bits=64, words_per_block=8, sectors=1), "tokens")]
+    blob = agg.collect_blobs(agg.build_sketches(corpus, spec))[("bloom", "")]
+    keys = corpus.select(F.explode("tokens").alias("t")).limit(1000)
+    p1 = probe.with_bloom_membership(keys, blob, "t", "m1")
+    assert getattr(p1, "_sketchlib_probe_coalesced", False)
+    assert probe._coalesce_for_probe(p1) is p1
+    # chained probe results are unchanged by the skip
+    p2 = probe.with_bloom_membership(p1, blob, "t", "m2")
+    rows = p2.select("m1", "m2").collect()
+    assert rows and all(r["m1"] == r["m2"] for r in rows)
